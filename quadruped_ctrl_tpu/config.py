@@ -1,0 +1,230 @@
+"""Typed configuration tree.
+
+The reference scatters its constants across hardcoded use sites (see
+/root/reference: ConvexMPCLocomotion.cpp:598-649, RobotState.cpp:37-40,
+MiniCheetah.h:19-112, PositionVelocityEstimator.cpp:67-72, SafetyChecker.cpp,
+config/quadruped_ctrl_config.yaml). Here every constant lives in one frozen
+dataclass tree. Configs are hashable so they can be passed as static args to
+`jax.jit`; array-valued fields are stored as tuples and converted with the
+`*_arr` helpers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class RobotConfig:
+    """Mini-Cheetah kinematic/actuation parameters (reference MiniCheetah.h:19-112)."""
+
+    body_mass: float = 3.3
+    body_length: float = 0.38
+    body_width: float = 0.098
+    body_height: float = 0.10
+    abad_link_length: float = 0.062
+    hip_link_length: float = 0.209
+    knee_link_length: float = 0.195
+    knee_link_y_offset: float = 0.004
+    max_leg_length: float = 0.409
+    abad_gear_ratio: float = 6.0
+    hip_gear_ratio: float = 6.0
+    knee_gear_ratio: float = 9.33
+    motor_tau_max: float = 3.0
+    battery_v: float = 24.0
+    motor_kt: float = 0.05
+    motor_r: float = 0.173
+    joint_damping: float = 0.01
+    joint_dry_friction: float = 0.2
+    # abad (hip mount) x/y offsets: legs 0..3 = FR, FL, HR, HL
+    # (reference Quadruped.h:95-101, MiniCheetah.h:104-105)
+    abad_location_x: float = 0.19
+    abad_location_y: float = 0.049
+    # getSideSign: right legs -1, left legs +1 (reference Quadruped.h:85-89)
+    side_signs: tuple = (-1.0, 1.0, -1.0, 1.0)
+
+    def hip_locations(self) -> np.ndarray:
+        """(4,3) hip locations in body frame (reference Quadruped.h:95-101)."""
+        x, y = self.abad_location_x, self.abad_location_y
+        return np.array(
+            [[x, -y, 0.0], [x, y, 0.0], [-x, -y, 0.0], [-x, y, 0.0]], dtype=np.float32
+        )
+
+
+@dataclass(frozen=True)
+class MPCConfig:
+    """Condensed convex MPC parameters.
+
+    References: ConvexMPCLocomotion.cpp:598-652 (weights, alpha, mu, f_max),
+    RobotState.cpp:37-40 / RobotState.h:27 (SRB inertia & mass),
+    GaitCtrller.cpp:6 (iterations_between_mpc), convexMPC_interface.h:3 (cap).
+    """
+
+    horizon: int = 14            # default gait horizon (ConvexMPCLocomotion.cpp:25)
+    h_max: int = 16              # static padded horizon for jit (aio range is 10..16)
+    iterations_between_mpc: int = 13
+    weights: tuple = (2.5, 2.5, 10.0, 50.0, 50.0, 100.0, 0.0, 0.0, 0.5, 0.2, 0.2, 0.1)
+    alpha: float = 4e-5          # control regularizer
+    mu: float = 0.4              # friction-pyramid coefficient
+    f_max: float = 120.0         # per-foot max normal force [N]
+    mass: float = 9.0            # SRB mass (heavier than CAD body mass; RobotState.h:27)
+    inertia: tuple = (0.07, 0.26, 0.242)  # SRB body-frame diagonal inertia
+    big_number: float = 5e10
+    x_comp_drag: float = 3.0     # cmpc_x_drag (ConvexMPCLocomotion.cpp:634)
+    gravity: float = 9.8         # value used in the 13th MPC state (SolverMPC.cpp:318)
+
+    def weights_arr(self) -> np.ndarray:
+        return np.asarray(self.weights, dtype=np.float32)
+
+    def inertia_arr(self) -> np.ndarray:
+        return np.diag(np.asarray(self.inertia, dtype=np.float32))
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Batched ADMM QP solver (OSQP/JCQP-style splitting; spec: JCQP QpProblem.h:15-27,
+    QpProblem.cpp:276-368). Defaults follow JCQP's defaults, not the (unused)
+    overrides the reference passes when use_jcqp is off."""
+
+    sigma: float = 1e-6
+    rho: float = 0.1
+    rho_equality_scale: float = 1e3
+    rho_infty: float = 1e-6
+    over_relax_alpha: float = 1.6
+    iterations: int = 60          # fixed iteration count for batched solves
+    infty: float = 1e10
+    eql_tol: float = 1e-9
+
+
+@dataclass(frozen=True)
+class SwingConfig:
+    """Swing trajectory + Raibert foot placement (ConvexMPCLocomotion.cpp:290-371)."""
+
+    height: float = 0.06
+    p_rel_max: float = 0.3
+    side_offset_y: float = 0.065
+    interleave_y: tuple = (-0.08, 0.08, 0.02, -0.02)
+    interleave_gain: float = -0.2
+    bonus_swing: float = 0.0
+    vel_err_gain: float = 0.03
+    capture_point_factor: float = 0.5
+
+
+@dataclass(frozen=True)
+class ControlConfig:
+    """Command filtering, gains, torque mapping.
+
+    References: ConvexMPCLocomotion.cpp:76-114 (filters/clamps), :378-381
+    (cartesian gains), :457 (kd_joint, written but unused by updateCommand),
+    LegController.cpp:113-155 (joint PD from ctrlParam), GaitCtrller.cpp:75-93
+    (velocity deadband), config/quadruped_ctrl_config.yaml (PD params).
+    """
+
+    body_height: float = 0.25
+    stand_height: float = 0.21   # stand_traj[2] (ConvexMPCLocomotion.cpp:141)
+    x_filter: float = 0.01
+    y_filter: float = 0.006
+    yaw_filter: float = 0.03
+    vx_max: float = 2.0
+    vx_min: float = -1.0
+    vy_max: float = 0.6
+    vel_deadband: float = 0.03
+    kp_cartesian: tuple = (700.0, 700.0, 200.0)
+    kd_cartesian: tuple = (10.0, 10.0, 10.0)
+    kd_stance_scale: float = 1.0
+    # ctrlParam = [stand_kp, stand_kd, joint_kp, joint_kd]; only 2,3 are used
+    # (quadruped_ctrl_config.yaml 'simulation' block; GaitCtrller.cpp:14-16)
+    stand_kp: float = 100.0
+    stand_kd: float = 1.0
+    joint_kp: float = 0.0
+    joint_kd: float = 0.05
+    rpy_int_max: float = 0.25    # terrain-compensation integral clamp
+
+
+@dataclass(frozen=True)
+class EstimatorConfig:
+    """Orientation + 18-state linear KF (PositionVelocityEstimator.cpp:18-72,140-169)."""
+
+    dt: float = 0.002
+    process_noise_pimu: float = 0.02
+    process_noise_vimu: float = 0.02
+    process_noise_pfoot: float = 0.002
+    sensor_noise_pimu_rel_foot: float = 0.001
+    sensor_noise_vimu_rel_foot: float = 0.1
+    sensor_noise_zfoot: float = 0.001
+    trust_window: float = 0.2
+    high_suspect_number: float = 100.0
+    initial_p: float = 100.0
+    gravity: float = 9.81
+
+
+@dataclass(frozen=True)
+class SafetyConfig:
+    """SafetyChecker limits (SafetyChecker.cpp:19-278)."""
+
+    rpy_limit: float = 0.5
+    max_foot_angle: float = 1.0472       # 60 deg
+    max_abad_angle: float = 1.0472
+    max_hip_angle: float = 0.174533      # 10 deg
+    min_hip_angle: float = -1.8
+    max_knee_angle: float = 2.79253      # 160 deg
+    min_knee_angle: float = -0.174533
+    max_lateral_force: float = 350.0
+    max_vertical_force: float = 350.0
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    """Batched SRB scenario simulator."""
+
+    freq: float = 500.0
+    gravity: float = 9.81
+    start_height: float = 0.30
+    ground_kp: float = 8000.0
+    ground_kd: float = 300.0
+    mu: float = 0.6
+
+
+@dataclass(frozen=True)
+class FrameworkConfig:
+    robot: RobotConfig = dataclasses.field(default_factory=RobotConfig)
+    mpc: MPCConfig = dataclasses.field(default_factory=MPCConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    swing: SwingConfig = dataclasses.field(default_factory=SwingConfig)
+    control: ControlConfig = dataclasses.field(default_factory=ControlConfig)
+    estimator: EstimatorConfig = dataclasses.field(default_factory=EstimatorConfig)
+    safety: SafetyConfig = dataclasses.field(default_factory=SafetyConfig)
+    sim: SimConfig = dataclasses.field(default_factory=SimConfig)
+
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.sim.freq
+
+    @property
+    def dt_mpc(self) -> float:
+        return self.dt * self.mpc.iterations_between_mpc
+
+
+def default_config(**overrides) -> FrameworkConfig:
+    """Build the default config, with dotted-field overrides.
+
+    Example: default_config(**{"mpc.horizon": 10, "sim.freq": 1000.0})
+    """
+    cfg = FrameworkConfig()
+    grouped: dict = {}
+    for key, val in overrides.items():
+        if "." in key:
+            section, field = key.split(".", 1)
+            grouped.setdefault(section, {})[field] = val
+        else:
+            grouped[key] = val
+    replacements = {}
+    for section, val in grouped.items():
+        if isinstance(val, dict):
+            replacements[section] = dataclasses.replace(getattr(cfg, section), **val)
+        else:
+            replacements[section] = val
+    return dataclasses.replace(cfg, **replacements) if replacements else cfg

@@ -1,0 +1,472 @@
+"""The full controller step: estimation -> gait -> placement -> MPC -> torques.
+
+This is the TPU-native re-derivation of the reference's per-tick pipeline
+(GaitCtrller::TorqueCalculator, GaitCtrller.cpp:95-145, and
+ConvexMPCLocomotion::run, ConvexMPCLocomotion.cpp:116-496) as a single pure
+function over an explicit state pytree. Semantics preserved on purpose:
+
+* estimator order: contact -> orientation -> linear KF, with the KF consuming
+  the *previous* tick's leg kinematics (PreWork runs estimators before
+  LegController::updateData, GaitCtrller.cpp:58-63);
+* the MPC fires when (iteration_counter + 1) % iterations_between_mpc == 0
+  (counter is incremented between foot placement and updateMPCIfNeeded,
+  ConvexMPCLocomotion.cpp:375, 502) and the last solution is held between
+  solves;
+* safety failures latch and zero the torques forever (GaitCtrller.cpp:108-142);
+  of the four reference checks only orientation and joint limits can ever
+  fire, because pDes/force checks run on commands zeroed at the top of the
+  tick (zeroCommand at GaitCtrller.cpp:100 precedes them) — reproduced as-is;
+* stance feet are damped toward the last computed swing-trajectory velocity
+  (which is zero at touchdown), with force feedforward from the MPC.
+
+For batched scenario engines, `control_tick` (cheap, every tick) and
+`mpc_update` (expensive, every 13th tick) are exposed separately so the 13x
+MPC cadence becomes a static loop structure instead of a per-lane cond.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from flax import struct
+
+from quadruped_ctrl_tpu.config import FrameworkConfig
+from quadruped_ctrl_tpu.control import leg_controller, safety
+from quadruped_ctrl_tpu.control import swing as swing_mod
+from quadruped_ctrl_tpu.core import rotations as rot
+from quadruped_ctrl_tpu.core.types import (
+    Command,
+    ControllerOutput,
+    ControllerState,
+    EstimatorState,
+    GaitParams,
+    LegData,
+    LocomotionState,
+    Sensors,
+    StateEstimate,
+)
+from quadruped_ctrl_tpu.estimation import linear_kf, orientation
+from quadruped_ctrl_tpu.gait import gait as gait_mod
+from quadruped_ctrl_tpu.mpc import formation
+from quadruped_ctrl_tpu.mpc.reference import build_reference
+from quadruped_ctrl_tpu.solver import admm
+
+
+@struct.dataclass
+class FullControllerState:
+    """ControllerState plus the carried leg data / swing-trajectory values."""
+
+    core: ControllerState
+    prev_leg: LegData          # previous tick's kinematics (estimator lag)
+    swing_p_cur: jnp.ndarray   # (4,3) last computed swing position (world)
+    swing_v_cur: jnp.ndarray   # (4,3) last computed swing velocity (world)
+
+    @staticmethod
+    def create(cfg: FrameworkConfig):
+        zero_leg = LegData(
+            q=jnp.zeros((4, 3), jnp.float32),
+            qd=jnp.zeros((4, 3), jnp.float32),
+            p=jnp.zeros((4, 3), jnp.float32),
+            v=jnp.zeros((4, 3), jnp.float32),
+            jac=jnp.zeros((4, 3, 3), jnp.float32),
+        )
+        return FullControllerState(
+            core=ControllerState.create(cfg.estimator.initial_p),
+            prev_leg=zero_leg,
+            swing_p_cur=jnp.zeros((4, 3), jnp.float32),
+            swing_v_cur=jnp.zeros((4, 3), jnp.float32),
+        )
+
+
+def run_estimators(cfg: FrameworkConfig, est: EstimatorState, sensors: Sensors,
+                   prev_leg: LegData):
+    """Contact + orientation + linear-KF estimators (GaitCtrller.cpp:20-27, 58-63)."""
+    est, ori = orientation.run(est, sensors)
+    hips = jnp.asarray(cfg.robot.hip_locations())
+    xhat, p_cov, position, v_world, v_body = linear_kf.run(
+        cfg.estimator,
+        est.kf_xhat,
+        est.kf_P,
+        ori["a_world"],
+        ori["r_body"],
+        ori["omega_body"],
+        hips,
+        prev_leg.p,
+        prev_leg.v,
+        est.contact_phase,
+    )
+    est = est.replace(kf_xhat=xhat, kf_P=p_cov)
+    se = StateEstimate(
+        position=position,
+        v_world=v_world,
+        v_body=v_body,
+        orientation=ori["orientation"],
+        r_body=ori["r_body"],
+        rpy=ori["rpy"],
+        omega_body=ori["omega_body"],
+        omega_world=ori["omega_world"],
+        a_body=ori["a_body"],
+        a_world=ori["a_world"],
+        contact_estimate=est.contact_phase,
+    )
+    return est, se
+
+
+def apply_vel_deadband(cfg: FrameworkConfig, vel):
+    """SetRobotVel's +-0.03 deadband (GaitCtrller.cpp:75-93)."""
+    return jnp.where(jnp.abs(vel) < cfg.control.vel_deadband, 0.0, vel)
+
+
+def _setup_command(cfg: FrameworkConfig, loco: LocomotionState, gamepad, rpy):
+    """Velocity low-pass + clamps + yaw targets (ConvexMPCLocomotion.cpp:76-114)."""
+    c = cfg.control
+    dt = cfg.dt
+    x = loco.x_vel_des * (1 - c.x_filter) + gamepad[0] * c.x_filter
+    y = loco.y_vel_des * (1 - c.y_filter) + gamepad[1] * c.y_filter
+    w = loco.yaw_turn_rate * (1 - c.yaw_filter) + gamepad[2] * c.yaw_filter
+    x = jnp.clip(x, c.vx_min, c.vx_max)
+    y = jnp.clip(y, -c.vy_max, c.vy_max)
+    yaw_des = rpy[2] + dt * w
+    yaw_des_true = jnp.where(
+        jnp.abs(rpy[2] - loco.yaw_des_true) > 5.0, rpy[2], loco.yaw_des_true
+    )
+    yaw_des_true = yaw_des_true + dt * w
+    return loco.replace(
+        x_vel_des=x,
+        y_vel_des=y,
+        yaw_turn_rate=w,
+        yaw_des=yaw_des,
+        yaw_des_true=yaw_des_true,
+    )
+
+
+def _select_gait(cfg: FrameworkConfig, loco: LocomotionState, cmd: Command):
+    """Gait selection / aio reshape (ConvexMPCLocomotion.cpp:127-239).
+
+    Returns (loco, params, gait_number, omni).
+    """
+    gait_number = cmd.gait_type
+    omni = gait_number >= 20
+    gait_number = jnp.where(omni, gait_number - 20, gait_number)
+
+    fixed = gait_mod.params_for_gait(gait_number)
+
+    # aio (mode 1): reshape at gait-phase boundaries by commanded speed
+    # (reference's vBody = sqrt(vx^2) + vy^2, line 175)
+    v_body = jnp.sqrt(loco.x_vel_des**2) + loco.y_vel_des**2
+    _, aio_phase = gait_mod.phase_of(
+        loco.iteration_counter, cfg.mpc.iterations_between_mpc, loco.aio
+    )
+    aio_new, aio_gait_number, counter_reset = gait_mod.aio_params(
+        v_body, loco.yaw_turn_rate, loco.aio, aio_phase, cfg.mpc.h_max
+    )
+
+    mode1 = cmd.robot_mode == 1
+    params = GaitParams(
+        offsets=jnp.where(mode1, aio_new.offsets, fixed.offsets),
+        durations=jnp.where(mode1, aio_new.durations, fixed.durations),
+        h=jnp.where(mode1, aio_new.h, fixed.h),
+    )
+    gait_number = jnp.where(mode1, aio_gait_number, gait_number)
+    counter = jnp.where(
+        mode1 & counter_reset, jnp.zeros_like(loco.iteration_counter),
+        loco.iteration_counter,
+    )
+    loco = loco.replace(aio=aio_new, iteration_counter=counter)
+    return loco, params, gait_number, omni
+
+
+def control_tick(cfg: FrameworkConfig, state: FullControllerState,
+                 sensors: Sensors, cmd: Command):
+    """Everything except the MPC solve. Returns (state, tick_ctx, output).
+
+    tick_ctx carries what `mpc_update` needs (gait table, estimate, feet).
+    """
+    core = state.core
+    dt = cfg.dt
+
+    # --- estimation (with one-tick leg-data lag, as in the reference) ---
+    est, se = run_estimators(cfg, core.estimator, sensors, state.prev_leg)
+    leg = leg_controller.update_data(cfg.robot, sensors.q, sensors.qd)
+
+    # --- safety: orientation check + joint-limit clamp (GaitCtrller.cpp:108-123)
+    ok_ori = safety.check_orientation(cfg.safety, se.rpy)
+    q_clamped, ok_joint = safety.check_joint_limits(cfg.safety, leg.q)
+    leg = leg.replace(q=q_clamped)
+    safety_ok = core.safety_ok & ok_ori & ok_joint
+
+    # --- command pipeline ---
+    gamepad = apply_vel_deadband(cfg, cmd.vel)
+    loco = _setup_command(cfg, core.locomotion, gamepad, se.rpy)
+    loco, params, gait_number, omni = _select_gait(cfg, loco, cmd)
+
+    # standing transition capture (ConvexMPCLocomotion.cpp:137-146)
+    entering_stand = ((gait_number == 4) & (loco.current_gait != 4)) | loco.first_run
+    stand_traj = jnp.where(
+        entering_stand,
+        jnp.stack(
+            [
+                se.position[0],
+                se.position[1],
+                jnp.asarray(cfg.control.stand_height, se.position.dtype),
+                jnp.zeros((), se.position.dtype),
+                jnp.zeros((), se.position.dtype),
+                se.rpy[2],
+            ]
+        ),
+        loco.stand_traj,
+    )
+    wpd = jnp.where(
+        entering_stand,
+        loco.world_position_desired.at[0].set(stand_traj[0]).at[1].set(stand_traj[1]),
+        loco.world_position_desired,
+    )
+    loco = loco.replace(current_gait=gait_number, stand_traj=stand_traj,
+                        world_position_desired=wpd)
+
+    segment, phase = gait_mod.phase_of(
+        loco.iteration_counter, cfg.mpc.iterations_between_mpc, params
+    )
+
+    # velocities / terrain compensation (lines 242-265)
+    v_des_robot = jnp.stack(
+        [loco.x_vel_des, loco.y_vel_des, jnp.zeros((), jnp.float32)]
+    )
+    r_body_t = se.r_body.T
+    v_des_world = jnp.where(omni, v_des_robot, r_body_t @ v_des_robot)
+    v_robot = se.v_world
+
+    rpy_int = loco.rpy_int
+    rpy_int = rpy_int.at[1].add(
+        jnp.where(jnp.abs(v_robot[0]) > 0.2, dt * (0.0 - se.rpy[1]) / v_robot[0], 0.0)
+    )
+    rpy_int = rpy_int.at[0].add(
+        jnp.where(jnp.abs(v_robot[1]) > 0.1, dt * (0.0 - se.rpy[0]) / v_robot[1], 0.0)
+    )
+    rpy_int = jnp.clip(rpy_int, -cfg.control.rpy_int_max, cfg.control.rpy_int_max)
+    rpy_comp = jnp.stack(
+        [v_robot[1] * rpy_int[0], v_robot[0] * rpy_int[1], jnp.zeros((), jnp.float32)]
+    )
+    loco = loco.replace(rpy_int=rpy_int, rpy_comp=rpy_comp)
+
+    # world-frame foot positions (lines 269-274)
+    hips = jnp.asarray(cfg.robot.hip_locations())
+    p_foot = se.position[None, :] + jnp.einsum("ij,fj->fi", r_body_t, hips + leg.p)
+
+    # desired world position integration (non-standing; lines 276-280)
+    standing = gait_number == 4
+    wpd = loco.world_position_desired
+    wpd = jnp.where(
+        standing, wpd, wpd + dt * jnp.stack([v_des_world[0], v_des_world[1],
+                                             jnp.zeros((), jnp.float32)])
+    )
+
+    # firstRun init (lines 283-295); wpd[2] holds yaw in the reference — kept
+    first = loco.first_run
+    wpd = jnp.where(
+        first,
+        jnp.stack([se.position[0], se.position[1], se.rpy[2]]),
+        wpd,
+    )
+    swing_p0 = jnp.where(first, p_foot, loco.swing_p0)
+    swing_pf = jnp.where(first, p_foot, loco.swing_pf)
+    loco = loco.replace(world_position_desired=wpd, swing_p0=swing_p0,
+                        swing_pf=swing_pf, first_run=jnp.asarray(False))
+
+    # swing timing (lines 297-314)
+    dt_mpc = cfg.dt_mpc
+    swing_times = gait_mod.swing_time(dt_mpc, params)
+    stance_times = gait_mod.stance_time(dt_mpc, params)
+    swing_time_remaining = jnp.where(
+        loco.first_swing, swing_times, loco.swing_time_remaining - dt
+    )
+
+    # foot placement (lines 304-371)
+    pf_target = swing_mod.foot_placement(
+        cfg, hips, se.position, r_body_t, se.v_world, v_des_robot, v_des_world,
+        loco.yaw_turn_rate, stance_times, swing_time_remaining,
+    )
+    loco = loco.replace(swing_pf=pf_target,
+                        swing_time_remaining=swing_time_remaining)
+
+    # counter increment (line 375)
+    loco = loco.replace(iteration_counter=loco.iteration_counter + 1)
+
+    contact_states = gait_mod.contact_state(phase, params)
+    swing_states = gait_mod.swing_state(phase, params)
+    mpc_table = gait_mod.mpc_table(segment, params, cfg.mpc.h_max)
+    mpc_due = (loco.iteration_counter % cfg.mpc.iterations_between_mpc) == 0
+
+    core = core.replace(estimator=est, locomotion=loco, safety_ok=safety_ok,
+                        gamepad=gamepad)
+    state = state.replace(core=core, prev_leg=leg)
+
+    ctx = dict(
+        se=se,
+        leg=leg,
+        p_foot=p_foot,
+        v_des_world=v_des_world,
+        mpc_table=mpc_table,
+        mpc_due=mpc_due,
+        standing=standing,
+        contact_states=contact_states,
+        swing_states=swing_states,
+        swing_times=swing_times,
+        params=params,
+    )
+    return state, ctx
+
+
+def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
+               iterations: int | None = None):
+    """Reference trajectory + formation + ADMM solve; updates f_ff/Fr_des.
+
+    Reference: updateMPCIfNeeded + solveDenseMPC (ConvexMPCLocomotion.cpp:
+    498-687). Only applied when ctx['mpc_due'] (callers either cond on it or
+    run every 13th tick by construction).
+    """
+    core = state.core
+    loco = core.locomotion
+    se: StateEstimate = ctx["se"]
+    h_max = cfg.mpc.h_max
+
+    traj, wpd = build_reference(
+        cfg,
+        ctx["standing"],
+        loco.stand_traj,
+        loco.world_position_desired,
+        se.position,
+        loco.rpy_comp,
+        loco.yaw_des_true,
+        loco.yaw_turn_rate,
+        ctx["v_des_world"],
+        h_max,
+    )
+
+    # x-drag integral: solve uses the PRE-update value (solveDenseMPC:632-640)
+    x_drag = loco.x_comp_integral
+    pz_err = se.position[2] - cfg.control.body_height
+    vx = se.v_world[0]
+    x_comp = jnp.where(
+        jnp.abs(vx) > 0.3,
+        loco.x_comp_integral + cfg.mpc.x_comp_drag * pz_err * cfg.dt_mpc / vx,
+        loco.x_comp_integral,
+    )
+
+    r_feet = ctx["p_foot"] - se.position[None, :]
+    a_ct, b_ct = formation.srb_ct_dynamics(cfg.mpc, r_feet, se.rpy[2], x_drag)
+    adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
+    a_qp, b_qp = formation.condense(adt, bdt, h_max)
+
+    x0 = formation.build_x0(
+        se.rpy, se.position, se.omega_world, se.v_world, cfg.mpc.gravity
+    )
+    params: GaitParams = ctx["params"]
+    step_mask = (jnp.arange(h_max) < params.h).astype(jnp.float32)
+    hess, grad = formation.qp_cost(cfg.mpc, a_qp, b_qp, x0, traj, step_mask)
+
+    forces = admm.admm_mpc(
+        cfg.solver, cfg.mpc, hess, grad, ctx["mpc_table"], iterations=iterations
+    ).reshape(h_max, 4, 3)
+    fr_des = forces[0]                                  # first-step forces (world)
+    f_ff = -jnp.einsum("ij,fj->fi", se.r_body, fr_des)  # body frame, reaction
+
+    loco = loco.replace(
+        world_position_desired=wpd, x_comp_integral=x_comp, f_ff=f_ff,
+        fr_des=fr_des,
+    )
+    return state.replace(core=core.replace(locomotion=loco))
+
+
+def leg_commands(cfg: FrameworkConfig, state: FullControllerState, ctx):
+    """Swing/stance command writing + torque mapping + safety gate.
+
+    Reference: ConvexMPCLocomotion.cpp:394-472, LegController.cpp:113-188,
+    GaitCtrller.cpp:128-142. Returns (state, ControllerOutput).
+    """
+    core = state.core
+    loco = core.locomotion
+    se: StateEstimate = ctx["se"]
+    leg: LegData = ctx["leg"]
+    swing_states = ctx["swing_states"]
+    contact_states = ctx["contact_states"]
+    in_swing = swing_states > 0
+
+    # swing start: reset p0 to the current foot position
+    start_swing = in_swing & loco.first_swing
+    swing_p0 = jnp.where(start_swing[:, None], ctx["p_foot"], loco.swing_p0)
+    first_swing = jnp.where(in_swing, False, True)
+
+    p_sw, v_sw, _ = swing_mod.swing_trajectory(
+        swing_p0, loco.swing_pf, cfg.swing.height, swing_states, ctx["swing_times"]
+    )
+    # stance feet keep the last computed trajectory point (zero velocity at
+    # touchdown) — ConvexMPCLocomotion.cpp:439-444 semantics
+    p_traj = jnp.where(in_swing[:, None], p_sw, state.swing_p_cur)
+    v_traj = jnp.where(in_swing[:, None], v_sw, state.swing_v_cur)
+
+    hips = jnp.asarray(cfg.robot.hip_locations())
+    p_des_leg = (
+        jnp.einsum("ij,fj->fi", se.r_body, p_traj - se.position[None, :]) - hips
+    )
+    v_des_leg = jnp.einsum("ij,fj->fi", se.r_body, v_traj - se.v_world[None, :])
+
+    kp_sw = jnp.asarray(cfg.control.kp_cartesian, jnp.float32)
+    kd_sw = jnp.asarray(cfg.control.kd_cartesian, jnp.float32)
+    kp = jnp.where(in_swing[:, None], kp_sw[None, :], 0.0)
+    kd = jnp.where(
+        in_swing[:, None], kd_sw[None, :], cfg.control.kd_stance_scale * kd_sw[None, :]
+    )
+    force_ff = jnp.where(in_swing[:, None], 0.0, loco.f_ff)
+
+    tau = leg_controller.update_command(
+        cfg.control, leg, p_des_leg, v_des_leg, kp, kd, force_ff
+    )
+    tau = jnp.where(core.safety_ok, tau, jnp.zeros_like(tau))
+
+    # contact phase feedback to the estimator (line 472)
+    se_contact = jnp.where(in_swing, 0.0, contact_states)
+    est = core.estimator.replace(contact_phase=se_contact)
+
+    loco = loco.replace(first_swing=first_swing, swing_p0=swing_p0)
+    core = core.replace(estimator=est, locomotion=loco)
+    state = state.replace(core=core, swing_p_cur=p_traj, swing_v_cur=v_traj)
+
+    out = ControllerOutput(
+        tau=tau,
+        p_foot_des=p_traj,
+        v_foot_des=v_traj,
+        fr_des=loco.fr_des,
+        contact_state=contact_states,
+        swing_state=swing_states,
+        p_body_des=jnp.stack(
+            [
+                loco.world_position_desired[0],
+                loco.world_position_desired[1],
+                jnp.asarray(cfg.control.body_height, jnp.float32),
+            ]
+        ),
+        v_body_des=ctx["v_des_world"].at[2].set(0.0),
+        estimate=se,
+    )
+    return state, out
+
+
+def controller_step(cfg: FrameworkConfig, state: FullControllerState,
+                    sensors: Sensors, cmd: Command,
+                    mpc_iterations: int | None = None):
+    """Single-robot full tick with the MPC under `lax.cond` (fires every
+    iterations_between_mpc ticks, holding the last solution otherwise)."""
+    state, ctx = control_tick(cfg, state, sensors, cmd)
+    state = lax.cond(
+        ctx["mpc_due"],
+        lambda s: mpc_update(cfg, s, ctx, iterations=mpc_iterations),
+        lambda s: s,
+        state,
+    )
+    return leg_commands(cfg, state, ctx)
+
+
+def init_state(cfg: FrameworkConfig) -> FullControllerState:
+    return FullControllerState.create(cfg)

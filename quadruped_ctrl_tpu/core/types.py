@@ -1,0 +1,192 @@
+"""Pytree state/IO structs for the controller.
+
+The reference keeps this state scattered across C++ member variables
+(ConvexMPCLocomotion.h:120-175, GaitCtrller.h:40-60, estimator members).
+Here the complete controller state is one explicit pytree so the step is a
+pure function and batching/sharding/checkpointing are trivial.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Sensors:
+    """Per-tick sensor input (the reference's imu_data[10] + leg_data[24];
+    GaitCtrller.cpp:34-56)."""
+
+    quat: jnp.ndarray          # (4,) (x,y,z,w) as produced by the sim/PyBullet
+    gyro: jnp.ndarray          # (3,) body-frame angular velocity
+    accelerometer: jnp.ndarray  # (3,) body-frame linear acceleration (with +g bias)
+    q: jnp.ndarray             # (12,) joint angles [abad,hip,knee] x 4 legs
+    qd: jnp.ndarray            # (12,) joint velocities
+
+
+@struct.dataclass
+class Command:
+    """Asynchronous operator command (set_robot_vel / set_gait_type /
+    set_robot_mode; GaitCtrller.h:82-92)."""
+
+    vel: jnp.ndarray           # (3,) [vx, vy, wz] raw command
+    gait_type: jnp.ndarray     # () int32, 0..11 (+20 => omni mode)
+    robot_mode: jnp.ndarray    # () int32, 0 = fixed gait, 1 = adaptive "aio"
+
+    @staticmethod
+    def create(vx=0.0, vy=0.0, wz=0.0, gait_type=9, robot_mode=0):
+        return Command(
+            vel=jnp.array([vx, vy, wz], dtype=jnp.float32),
+            gait_type=jnp.asarray(gait_type, dtype=jnp.int32),
+            robot_mode=jnp.asarray(robot_mode, dtype=jnp.int32),
+        )
+
+
+@struct.dataclass
+class StateEstimate:
+    """Output block of the estimator container (StateEstimatorContainer.h:22-60)."""
+
+    position: jnp.ndarray      # (3,) world
+    v_world: jnp.ndarray       # (3,)
+    v_body: jnp.ndarray        # (3,)
+    orientation: jnp.ndarray   # (4,) (w,x,y,z)
+    r_body: jnp.ndarray        # (3,3) vBody = r_body @ vWorld
+    rpy: jnp.ndarray           # (3,)
+    omega_body: jnp.ndarray    # (3,)
+    omega_world: jnp.ndarray   # (3,)
+    a_body: jnp.ndarray        # (3,)
+    a_world: jnp.ndarray       # (3,)
+    contact_estimate: jnp.ndarray  # (4,)
+
+
+@struct.dataclass
+class EstimatorState:
+    """Persistent estimator state (OrientationEstimator.cpp:56-63,
+    PositionVelocityEstimator.cpp:18-57)."""
+
+    kf_xhat: jnp.ndarray       # (18,) [p, v, p_foot x4]
+    kf_P: jnp.ndarray          # (18,18)
+    ori_ini_inv: jnp.ndarray   # (4,) initial-yaw-removal quaternion
+    first_visit: jnp.ndarray   # () bool
+    contact_phase: jnp.ndarray  # (4,) commanded contact phase fed back from gait
+
+    @staticmethod
+    def create(initial_p: float = 100.0):
+        return EstimatorState(
+            kf_xhat=jnp.zeros(18, dtype=jnp.float32),
+            kf_P=jnp.eye(18, dtype=jnp.float32) * initial_p,
+            ori_ini_inv=jnp.array([1.0, 0.0, 0.0, 0.0], dtype=jnp.float32),
+            first_visit=jnp.asarray(True),
+            contact_phase=jnp.full((4,), 0.5, dtype=jnp.float32),
+        )
+
+
+@struct.dataclass
+class LegData:
+    """Per-leg measured data (LegController.h data struct)."""
+
+    q: jnp.ndarray             # (4,3)
+    qd: jnp.ndarray            # (4,3)
+    p: jnp.ndarray             # (4,3) foot position in hip frame
+    v: jnp.ndarray             # (4,3) foot velocity in hip frame
+    jac: jnp.ndarray           # (4,3,3)
+
+
+@struct.dataclass
+class GaitParams:
+    """Runtime-mutable gait definition (Gait.cpp:23-41 setGaitParam)."""
+
+    offsets: jnp.ndarray       # (4,) int32 segment offsets
+    durations: jnp.ndarray     # (4,) int32 stance durations in segments
+    h: jnp.ndarray             # () int32 horizon segments (10..16)
+
+
+@struct.dataclass
+class LocomotionState:
+    """ConvexMPCLocomotion persistent state (ConvexMPCLocomotion.h:120-175)."""
+
+    iteration_counter: jnp.ndarray     # () int32
+    x_vel_des: jnp.ndarray             # () filtered forward velocity command
+    y_vel_des: jnp.ndarray
+    yaw_turn_rate: jnp.ndarray
+    yaw_des: jnp.ndarray
+    yaw_des_true: jnp.ndarray
+    world_position_desired: jnp.ndarray  # (3,)
+    stand_traj: jnp.ndarray            # (6,) [x, y, z, r, p, yaw]
+    rpy_int: jnp.ndarray               # (3,) terrain-compensation integrals
+    rpy_comp: jnp.ndarray              # (3,)
+    current_gait: jnp.ndarray          # () int32
+    first_run: jnp.ndarray             # () bool
+    first_swing: jnp.ndarray           # (4,) bool
+    swing_time_remaining: jnp.ndarray  # (4,)
+    swing_p0: jnp.ndarray              # (4,3) swing liftoff positions (world)
+    swing_pf: jnp.ndarray              # (4,3) swing touchdown targets (world)
+    x_comp_integral: jnp.ndarray       # () height-drag integral
+    f_ff: jnp.ndarray                  # (4,3) body-frame feedforward forces
+    fr_des: jnp.ndarray                # (4,3) world-frame reaction forces (MPC out)
+    aio: GaitParams                    # adaptive gait's current parameters
+
+    @staticmethod
+    def create():
+        return LocomotionState(
+            iteration_counter=jnp.asarray(0, dtype=jnp.int32),
+            x_vel_des=jnp.asarray(0.0, dtype=jnp.float32),
+            y_vel_des=jnp.asarray(0.0, dtype=jnp.float32),
+            yaw_turn_rate=jnp.asarray(0.0, dtype=jnp.float32),
+            yaw_des=jnp.asarray(0.0, dtype=jnp.float32),
+            yaw_des_true=jnp.asarray(0.0, dtype=jnp.float32),
+            world_position_desired=jnp.zeros(3, dtype=jnp.float32),
+            stand_traj=jnp.zeros(6, dtype=jnp.float32),
+            rpy_int=jnp.zeros(3, dtype=jnp.float32),
+            rpy_comp=jnp.zeros(3, dtype=jnp.float32),
+            current_gait=jnp.asarray(9, dtype=jnp.int32),
+            first_run=jnp.asarray(True),
+            first_swing=jnp.ones(4, dtype=bool),
+            swing_time_remaining=jnp.zeros(4, dtype=jnp.float32),
+            swing_p0=jnp.zeros((4, 3), dtype=jnp.float32),
+            swing_pf=jnp.zeros((4, 3), dtype=jnp.float32),
+            x_comp_integral=jnp.asarray(0.0, dtype=jnp.float32),
+            f_ff=jnp.zeros((4, 3), dtype=jnp.float32),
+            fr_des=jnp.zeros((4, 3), dtype=jnp.float32),
+            aio=GaitParams(
+                offsets=jnp.zeros(4, dtype=jnp.int32),
+                durations=jnp.full((4,), 14, dtype=jnp.int32),
+                h=jnp.asarray(14, dtype=jnp.int32),
+            ),
+        )
+
+
+@struct.dataclass
+class ControllerState:
+    """Complete persistent controller state (the reference's GaitCtrller +
+    members; GaitCtrller.h:40-60)."""
+
+    estimator: EstimatorState
+    locomotion: LocomotionState
+    safety_ok: jnp.ndarray     # () bool, latches false (GaitCtrller.cpp:108-123)
+    gamepad: jnp.ndarray       # (3,) deadbanded velocity command
+
+    @staticmethod
+    def create(initial_p: float = 100.0):
+        return ControllerState(
+            estimator=EstimatorState.create(initial_p),
+            locomotion=LocomotionState.create(),
+            safety_ok=jnp.asarray(True),
+            gamepad=jnp.zeros(3, dtype=jnp.float32),
+        )
+
+
+@struct.dataclass
+class ControllerOutput:
+    """Per-tick controller output: torques plus the WBC-style debug block
+    (ConvexMPCLocomotion.h:93-110)."""
+
+    tau: jnp.ndarray           # (12,) joint torques
+    p_foot_des: jnp.ndarray    # (4,3) desired world foot positions
+    v_foot_des: jnp.ndarray    # (4,3)
+    fr_des: jnp.ndarray        # (4,3) desired reaction forces (world)
+    contact_state: jnp.ndarray  # (4,)
+    swing_state: jnp.ndarray   # (4,)
+    p_body_des: jnp.ndarray    # (3,)
+    v_body_des: jnp.ndarray    # (3,)
+    estimate: StateEstimate

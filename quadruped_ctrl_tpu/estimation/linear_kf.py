@@ -1,0 +1,129 @@
+"""18-state linear Kalman filter for body position/velocity.
+
+Re-derivation of LinearKFPositionVelocityEstimator (reference
+Controllers/PositionVelocityEstimator.cpp:18-221): state
+x = [p(3), v(3), p_foot0..3(12)], 28 measurements (4x relative foot position,
+4x foot velocity, 4x foot height), with per-foot contact-"trust" scaling of
+the process/measurement noise.
+
+The innovation solve uses a single Cholesky factorization of the (SPD)
+innovation covariance instead of the reference's two LU solves — same result,
+one batched `cho_solve` on TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from quadruped_ctrl_tpu.config import EstimatorConfig
+
+
+def _static_mats(cfg: EstimatorConfig):
+    """A, B, C, Q0 diag, R0 = I as numpy constants (setup(), lines 18-57)."""
+    dt = cfg.dt
+    a = np.eye(18, dtype=np.float32)
+    a[0:3, 3:6] = dt * np.eye(3, dtype=np.float32)
+    b = np.zeros((18, 3), dtype=np.float32)
+    b[3:6, :] = dt * np.eye(3, dtype=np.float32)
+    c = np.zeros((28, 18), dtype=np.float32)
+    c1 = np.hstack([np.eye(3), np.zeros((3, 3))]).astype(np.float32)
+    c2 = np.hstack([np.zeros((3, 3)), np.eye(3)]).astype(np.float32)
+    for i in range(4):
+        c[3 * i : 3 * i + 3, 0:6] = c1
+        c[12 + 3 * i : 15 + 3 * i, 0:6] = c2
+    c[0:12, 6:18] = -np.eye(12, dtype=np.float32)
+    c[24, 8] = 1.0
+    c[25, 11] = 1.0
+    c[26, 14] = 1.0
+    c[27, 17] = 1.0
+    q0 = np.ones(18, dtype=np.float32)
+    q0[0:3] = (dt / 20.0) * cfg.process_noise_pimu
+    q0[3:6] = (dt * 9.8 / 20.0) * cfg.process_noise_vimu
+    q0[6:18] = dt * cfg.process_noise_pfoot
+    r0 = np.ones(28, dtype=np.float32)
+    r0[0:12] = cfg.sensor_noise_pimu_rel_foot
+    r0[12:24] = cfg.sensor_noise_vimu_rel_foot
+    r0[24:28] = cfg.sensor_noise_zfoot
+    return a, b, c, q0, r0
+
+
+def run(
+    cfg: EstimatorConfig,
+    xhat,                # (18,)
+    p_cov,               # (18,18)
+    a_world,             # (3,) world-frame acceleration (with +g bias still in)
+    r_body,              # (3,3)
+    omega_body,          # (3,)
+    hip_locations,       # (4,3)
+    leg_p,               # (4,3) foot pos in hip frame
+    leg_v,               # (4,3) foot vel in hip frame
+    contact_phase,       # (4,)
+):
+    """One KF step. Returns (xhat, P, position, v_world, v_body)."""
+    A, B, C, q0_diag, r0_diag = (jnp.asarray(m) for m in _static_mats(cfg))
+
+    g = jnp.array([0.0, 0.0, -cfg.gravity], dtype=xhat.dtype)
+    rbod = r_body.T
+    a = a_world + g
+
+    p0, v0 = xhat[0:3], xhat[3:6]
+
+    p_rel = hip_locations + leg_p                       # (4,3) body frame
+    dp_rel = leg_v
+    p_f = jnp.einsum("ij,fj->fi", rbod, p_rel)          # world frame
+    dp_f = jnp.einsum(
+        "ij,fj->fi", rbod, jnp.cross(jnp.broadcast_to(omega_body, (4, 3)), p_rel) + dp_rel
+    )
+
+    phase = jnp.minimum(contact_phase, 1.0)
+    tw = cfg.trust_window
+    trust = jnp.where(
+        phase < tw, phase / tw, jnp.where(phase > 1.0 - tw, (1.0 - phase) / tw, 1.0)
+    )
+    suspect = 1.0 + (1.0 - trust) * cfg.high_suspect_number  # (4,)
+
+    # noise assembly (run(), lines 74-169)
+    q_diag = q0_diag
+    q_diag = q_diag.at[6:18].set(
+        (q0_diag[6:18].reshape(4, 3) * suspect[:, None]).reshape(12)
+    )
+    r_diag = r0_diag
+    r_diag = r_diag.at[12:24].set(
+        (r0_diag[12:24].reshape(4, 3) * suspect[:, None]).reshape(12)
+    )
+    r_diag = r_diag.at[24:28].set(r0_diag[24:28] * suspect)
+
+    ps = (-p_f).reshape(12)
+    vs = ((1.0 - trust)[:, None] * v0[None, :] + trust[:, None] * (-dp_f)).reshape(12)
+    pzs = (1.0 - trust) * (p0[2] + p_f[:, 2])
+    y = jnp.concatenate([ps, vs, pzs])
+
+    # predict
+    xhat = A @ xhat + B @ a
+    pm = A @ p_cov @ A.T + jnp.diag(q_diag)
+
+    # update (single Cholesky; reference uses two LU solves, lines 171-186)
+    ey = y - C @ xhat
+    s = C @ pm @ C.T + jnp.diag(r_diag)
+    chol = cho_factor(s, lower=True)
+    s_ey = cho_solve(chol, ey)
+    pct = pm @ C.T
+    xhat = xhat + pct @ s_ey
+    s_c = cho_solve(chol, C)
+    p_cov = (jnp.eye(18, dtype=xhat.dtype) - pct @ s_c) @ pm
+    p_cov = 0.5 * (p_cov + p_cov.T)
+
+    # xy-covariance conditioning hack (lines 191-195)
+    det2 = p_cov[0, 0] * p_cov[1, 1] - p_cov[0, 1] * p_cov[1, 0]
+    cond = det2 > 1e-6
+    mask_row = jnp.ones((18, 18), dtype=bool).at[0:2, 2:18].set(False).at[2:18, 0:2].set(False)
+    p_fixed = jnp.where(mask_row, p_cov, 0.0)
+    p_fixed = p_fixed.at[0:2, 0:2].set(p_fixed[0:2, 0:2] / 10.0)
+    p_cov = jnp.where(cond, p_fixed, p_cov)
+
+    position = xhat[0:3]
+    v_world = xhat[3:6]
+    v_body = r_body @ v_world
+    return xhat, p_cov, position, v_world, v_body

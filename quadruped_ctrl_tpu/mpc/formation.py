@@ -1,0 +1,211 @@
+"""Condensed convex MPC formation: SRB linearization, exact discretization,
+prediction stacking, and QP cost/constraint assembly.
+
+Re-derivation of the reference's dense path (SolverMPC.cpp:87-125 c2qp,
+:235-254 ct_ss_mats, :296-399 solve_mpc cost assembly, :352-377 friction
+pyramid). Differences by design, for TPU:
+
+* the 25x25 matrix exponential is a fixed scaling-and-squaring Taylor series
+  (static shapes, no data-dependent control flow, vmap/batch friendly);
+* the horizon is padded to a static `h_max`; steps >= h get zero cost weight
+  and zero contact (force bounds 0), which decouples them from the QP exactly;
+* the friction-pyramid constraint matrix is never materialized — it is
+  block-structured (5x3 per foot-step), applied/transposed/grammed
+  structurally so the ADMM solver never touches a (20h x 12h) dense matrix;
+* swing feet are handled by bound masking (fz in [0,0] forces fx=fy=0 via the
+  pyramid rows), equivalent to the reference's variable elimination
+  (SolverMPC.cpp:441-525) — same minimizer, static shapes.
+
+State (13): [roll, pitch, yaw, p(3), omega_world(3), v_world(3), g_aug],
+with g_aug = -9.8 held by the dynamics' 13th column.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quadruped_ctrl_tpu.config import MPCConfig
+
+_HI = lax.Precision.HIGHEST
+
+
+def srb_ct_dynamics(cfg_mpc: MPCConfig, r_feet, yaw, x_drag):
+    """Continuous-time A(13,13), B(13,12) (SolverMPC.cpp:235-254).
+
+    r_feet: (4,3) foot positions relative to the CoM, world frame.
+    """
+    dtype = r_feet.dtype
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    r_yaw = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], dtype=dtype)
+
+    i_body = jnp.asarray(cfg_mpc.inertia_arr(), dtype=dtype)
+    i_world = r_yaw @ i_body @ r_yaw.T
+    i_inv = jnp.linalg.inv(i_world)
+
+    a = jnp.zeros((13, 13), dtype=dtype)
+    a = a.at[3, 9].set(1.0).at[4, 10].set(1.0).at[5, 11].set(1.0)
+    a = a.at[11, 9].set(x_drag)
+    a = a.at[11, 12].set(1.0)
+    a = a.at[0:3, 6:9].set(r_yaw.T)
+
+    rx = jnp.zeros((4, 3, 3), dtype=dtype)
+    rx = rx.at[:, 0, 1].set(-r_feet[:, 2]).at[:, 0, 2].set(r_feet[:, 1])
+    rx = rx.at[:, 1, 0].set(r_feet[:, 2]).at[:, 1, 2].set(-r_feet[:, 0])
+    rx = rx.at[:, 2, 0].set(-r_feet[:, 1]).at[:, 2, 1].set(r_feet[:, 0])
+    torque_blocks = jnp.einsum("ij,fjk->fik", i_inv, rx, precision=_HI)  # (4,3,3)
+
+    b = jnp.zeros((13, 12), dtype=dtype)
+    for f in range(4):
+        b = b.at[6:9, 3 * f : 3 * f + 3].set(torque_blocks[f])
+        b = b.at[9:12, 3 * f : 3 * f + 3].set(
+            jnp.eye(3, dtype=dtype) / cfg_mpc.mass
+        )
+    return a, b
+
+
+def expm_fixed(m, scaling: int = 4, order: int = 10):
+    """Matrix exponential via fixed scaling-and-squaring + Taylor series.
+
+    Static control flow (unlike jax.scipy.linalg.expm's norm-dependent
+    scaling), accurate to ~1e-7 in f32 for the small-norm matrices produced
+    by dt * [[A,B],[0,0]] (SolverMPC.cpp:87-93). Batched over leading dims.
+    """
+    ms = m / (2.0**scaling)
+    n = m.shape[-1]
+    eye = jnp.eye(n, dtype=m.dtype)
+    eye = jnp.broadcast_to(eye, m.shape)
+    result = eye
+    term = eye
+    for k in range(1, order + 1):
+        term = jnp.matmul(term, ms, precision=_HI) / k
+        result = result + term
+    for _ in range(scaling):
+        result = jnp.matmul(result, result, precision=_HI)
+    return result
+
+
+def discretize(a_ct, b_ct, dt):
+    """Exact zero-order-hold discretization via the augmented exponential
+    exp(dt*[[A,B],[0,0]]) (SolverMPC.cpp:87-95). Returns (Adt 13x13, Bdt 13x12)."""
+    dtype = a_ct.dtype
+    abc = jnp.zeros((25, 25), dtype=dtype)
+    abc = abc.at[0:13, 0:13].set(a_ct).at[0:13, 13:25].set(b_ct)
+    em = expm_fixed(abc * dt)
+    return em[0:13, 0:13], em[0:13, 13:25]
+
+
+def condense(adt, bdt, h_max: int):
+    """Prediction-stacking: A_qp (h,13,13) = Adt^(r+1); B_qp (h,h,13,12)
+    lower-block-Toeplitz of Adt^(r-c) Bdt (SolverMPC.cpp:103-120).
+
+    The power chain is a `lax.scan` (h_max steps of a 13x13 matmul).
+    """
+
+    def step(carry, _):
+        nxt = jnp.matmul(adt, carry, precision=_HI)
+        return nxt, nxt
+
+    eye = jnp.eye(13, dtype=adt.dtype)
+    _, powers_tail = lax.scan(step, eye, None, length=h_max)
+    powers = jnp.concatenate([eye[None], powers_tail], axis=0)  # (h_max+1,13,13)
+
+    a_qp = powers[1 : h_max + 1]                                # (h,13,13)
+    pow_b = jnp.einsum("hij,jk->hik", powers[:h_max], bdt, precision=_HI)
+
+    r = jnp.arange(h_max)[:, None]
+    c = jnp.arange(h_max)[None, :]
+    idx = jnp.clip(r - c, 0, h_max - 1)
+    mask = (r >= c).astype(adt.dtype)[:, :, None, None]
+    b_qp = pow_b[idx] * mask                                    # (h,h,13,12)
+    return a_qp, b_qp
+
+
+def qp_cost(
+    cfg_mpc: MPCConfig,
+    a_qp,            # (h,13,13)
+    b_qp,            # (h,h,13,12)
+    x0,              # (13,)
+    x_d,             # (h,13) reference trajectory (13th entry 0)
+    step_mask,       # (h,) 1.0 for steps < horizon
+):
+    """Hessian (12h,12h) and gradient (12h,) of the condensed QP
+    (SolverMPC.cpp:335-399): H = 2(B' S B + alpha I), g = 2 B' S (A x0 - X_d)."""
+    h = a_qp.shape[0]
+    dtype = a_qp.dtype
+    w = jnp.concatenate(
+        [jnp.asarray(cfg_mpc.weights_arr(), dtype=dtype), jnp.zeros(1, dtype=dtype)]
+    )
+    s_diag = (w[None, :] * step_mask[:, None])                   # (h,13)
+
+    bq = b_qp.transpose(0, 2, 1, 3).reshape(h * 13, h * 12)
+    sb = (s_diag.reshape(-1, 1)) * bq
+    hess = 2.0 * (
+        jnp.matmul(bq.T, sb, precision=_HI)
+        + cfg_mpc.alpha * jnp.eye(h * 12, dtype=dtype)
+    )
+    resid = (
+        jnp.einsum("hij,j->hi", a_qp, x0, precision=_HI) - x_d
+    ) * s_diag
+    grad = 2.0 * jnp.matmul(bq.T, resid.reshape(-1), precision=_HI)
+    return hess, grad
+
+
+def pyramid_bounds(cfg_mpc: MPCConfig, gait_table):
+    """Lower/upper bounds of the 5 constraint rows per foot-step
+    (SolverMPC.cpp:352-364). gait_table: (h,4) in {0,1}. Returns l,u (h,4,5)."""
+    h = gait_table.shape[0]
+    dtype = gait_table.dtype
+    big = jnp.asarray(cfg_mpc.big_number, dtype=dtype)
+    u = jnp.broadcast_to(big, (h, 4, 5)).copy()
+    u = u.at[:, :, 4].set(gait_table * cfg_mpc.f_max)
+    l = jnp.zeros((h, 4, 5), dtype=dtype)
+    return l, u
+
+
+def pyramid_apply(cfg_mpc: MPCConfig, x):
+    """A @ x for the friction pyramid, structurally. x: (...,h,4,3) forces;
+    returns (...,h,4,5) [mu^-1 fx+fz, -mu^-1 fx+fz, mu^-1 fy+fz, -mu^-1 fy+fz, fz]."""
+    mu_inv = 1.0 / cfg_mpc.mu
+    fx, fy, fz = x[..., 0], x[..., 1], x[..., 2]
+    return jnp.stack(
+        [mu_inv * fx + fz, -mu_inv * fx + fz, mu_inv * fy + fz, -mu_inv * fy + fz, fz],
+        axis=-1,
+    )
+
+
+def pyramid_apply_t(cfg_mpc: MPCConfig, y):
+    """A.T @ y, structurally. y: (...,h,4,5) -> (...,h,4,3)."""
+    mu_inv = 1.0 / cfg_mpc.mu
+    fx = mu_inv * (y[..., 0] - y[..., 1])
+    fy = mu_inv * (y[..., 2] - y[..., 3])
+    fz = y[..., 0] + y[..., 1] + y[..., 2] + y[..., 3] + y[..., 4]
+    return jnp.stack([fx, fy, fz], axis=-1)
+
+
+def pyramid_gram(cfg_mpc: MPCConfig, rho):
+    """A.T diag(rho) A per foot-step block, structurally.
+
+    rho: (h,4,5) per-row ADMM penalties -> (h,4,3,3) SPD blocks used to build
+    the ADMM normal-equation matrix without materializing A.
+    """
+    mu_inv = 1.0 / cfg_mpc.mu
+    r0, r1, r2, r3, r4 = (rho[..., i] for i in range(5))
+    gxx = mu_inv * mu_inv * (r0 + r1)
+    gyy = mu_inv * mu_inv * (r2 + r3)
+    gzz = r0 + r1 + r2 + r3 + r4
+    gxz = mu_inv * (r0 - r1)
+    gyz = mu_inv * (r2 - r3)
+    zeros = jnp.zeros_like(gxx)
+    g = jnp.stack(
+        [gxx, zeros, gxz, zeros, gyy, gyz, gxz, gyz, gzz], axis=-1
+    )
+    return g.reshape(rho.shape[:-1] + (3, 3))
+
+
+def build_x0(rpy, position, omega_world, v_world, gravity):
+    """Initial condensed-MPC state (SolverMPC.cpp:314-318)."""
+    return jnp.concatenate(
+        [rpy, position, omega_world, v_world, jnp.asarray([-gravity], rpy.dtype)]
+    )
