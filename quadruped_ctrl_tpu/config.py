@@ -90,11 +90,12 @@ class SolverConfig:
     overrides the reference passes when use_jcqp is off."""
 
     sigma: float = 1e-6
-    rho: float = 0.1
+    rho: float = 1.0              # on the force-normalized problem (O(1) data)
     rho_equality_scale: float = 1e3
     rho_infty: float = 1e-6
     over_relax_alpha: float = 1.6
-    iterations: int = 60          # fixed iteration count for batched solves
+    iterations: int = 50          # fixed iteration count for batched solves
+    polish_rounds: int = 6        # active-set polish solves after ADMM
     infty: float = 1e10
     eql_tol: float = 1e-9
 

@@ -1,4 +1,5 @@
-"""Batched ADMM QP solver (OSQP/JCQP-style operator splitting).
+"""Batched ADMM QP solver (OSQP/JCQP-style operator splitting) with
+active-set polish.
 
 Solves  min 0.5 x'Hx + g'x  s.t.  l <= Ax <= u.
 
@@ -6,25 +7,31 @@ The splitting, relaxation, and per-constraint-type rho selection follow the
 JCQP spec (reference src/JCQP/QpProblem.cpp:276-368, QpProblem.h:15-27):
 equality rows (|u-l|<tol) get rho*rho_equality_scale, effectively-unbounded
 rows get rho_infty, others rho. The KKT system is solved via the Schur
-complement normal equations K = H + sigma*I + A' diag(rho) A with a single
-Cholesky factorization per problem, reused across iterations — on TPU this is
-one batched Cholesky + two batched triangular solves per iteration, all MXU
-work with static shapes.
+complement normal equations K = H + sigma*I + A' diag(rho) A with one
+Cholesky factorization per problem, reused across iterations — on TPU one
+batched Cholesky + two batched triangular solves per iteration, all MXU work
+with static shapes. All factorizations are Jacobi-prescaled (D K D with
+D = diag(K)^-1/2) so the badly-scaled MPC Hessian (diag ~1e-4) plus large
+penalty terms stay within f32 Cholesky's conditioning budget.
+
+After the fixed ADMM iterations, an OSQP-style *polish* enforces the
+identified active set with a large penalty and re-solves, refining by
+dropping wrong-sign multipliers and adding violated rows — a fixed number of
+rounds, each one prescaled Cholesky, keeping shapes static. This recovers
+near-exact solutions (~1e-3 N force error vs a float64 interior-point
+oracle) from a modest iteration count.
 
 Two interfaces:
-* `admm_dense`   — generic dense-A solver (the JCQP-equivalent component,
-                   also the differential-test subject);
-* `admm_mpc`     — MPC-specialized: A is the friction pyramid, applied
-                   structurally (never materialized), K assembled from
-                   3x3 Gram blocks.
+* `admm_dense` — generic dense-A solver (the JCQP-equivalent component and
+  differential-test subject);
+* `admm_mpc`  — MPC-specialized: A is the friction pyramid, applied
+  structurally (never materialized), K assembled from 3x3 Gram blocks.
 
-A fixed iteration count keeps batches divergence-free; `kkt_residuals` gives
-an optimality certificate for tests/telemetry.
+A fixed iteration count keeps batches divergence-free; `kkt_residuals`
+gives an optimality certificate for tests/telemetry.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -47,20 +54,29 @@ def constraint_rho(cfg: SolverConfig, l, u):
     )
 
 
-def _iterate(cfg: SolverConfig, kkt_chol, apply_a, apply_at, g, l, u, rho, n_iter):
+def _make_solver(k):
+    """Jacobi-prescaled Cholesky solver for SPD k; returns solve(b)->x."""
+    d = lax.rsqrt(jnp.maximum(jnp.diagonal(k), 1e-30))
+    ks = k * d[:, None] * d[None, :]
+    chol = jnp.linalg.cholesky(ks)
+
+    def solve(b):
+        t = lax.linalg.triangular_solve(
+            chol, (d * b)[:, None], left_side=True, lower=True, transpose_a=False
+        )
+        t = lax.linalg.triangular_solve(
+            chol, t, left_side=True, lower=True, transpose_a=True
+        )
+        return d * t[:, 0]
+
+    return solve
+
+
+def _iterate(cfg: SolverConfig, solve, apply_a, apply_at, g, l, u, rho, n_iter):
     """Shared ADMM loop. apply_a: x->Ax, apply_at: y->A'y (flat vectors)."""
     alpha = cfg.over_relax_alpha
     sigma = cfg.sigma
     inv_rho = 1.0 / rho
-
-    def tri_solve(rhs):
-        t = lax.linalg.triangular_solve(
-            kkt_chol, rhs[:, None], left_side=True, lower=True, transpose_a=False
-        )
-        t = lax.linalg.triangular_solve(
-            kkt_chol, t, left_side=True, lower=True, transpose_a=True
-        )
-        return t[:, 0]
 
     x0 = jnp.zeros(g.shape, dtype=g.dtype)
     z0 = jnp.zeros(l.shape, dtype=g.dtype)
@@ -69,7 +85,7 @@ def _iterate(cfg: SolverConfig, kkt_chol, apply_a, apply_at, g, l, u, rho, n_ite
     def body(carry, _):
         x, z, y = carry
         rhs = sigma * x - g + apply_at(rho * z - y)
-        x_t = tri_solve(rhs)
+        x_t = solve(rhs)
         z_t = apply_a(x_t)
         x_new = alpha * x_t + (1.0 - alpha) * x
         z_relax = alpha * z_t + (1.0 - alpha) * z
@@ -81,8 +97,49 @@ def _iterate(cfg: SolverConfig, kkt_chol, apply_a, apply_at, g, l, u, rho, n_ite
     return x, z, y
 
 
+def _polish(cfg: SolverConfig, build_solver, apply_a, apply_at, grad, l, u,
+            finite_u, x, z, y, rounds: int, w_act: float = 1e4,
+            act_tol: float = 1e-4):
+    """Active-set polish (OSQP 'polish' made static-shape).
+
+    Enforces the ADMM-identified active constraints with a large penalty and
+    re-solves; refines by dropping wrong-sign multipliers and adding violated
+    rows, keeping the least-infeasible iterate across the fixed number of
+    rounds. build_solver(w) returns a solve() for H + sigma I + A'diag(w)A.
+    Assumes the problem is normalized to O(1) data (see admm_mpc's force
+    normalization) so w_act stays within f32 Cholesky conditioning.
+    """
+    lo_act = (z - l) < act_tol
+    hi_act = finite_u & ((u - z) < act_tol)
+
+    def viol(v):
+        av = apply_a(v)
+        return jnp.max(jnp.maximum(l - av, jnp.where(finite_u, av - u, -1.0)))
+
+    def round_body(carry, _):
+        best_x, best_v, lo, hi = carry
+        act = lo | hi
+        bound = jnp.where(lo, l, jnp.where(hi & finite_u, u, 0.0))
+        w = jnp.where(act, w_act, 0.0)
+        solve = build_solver(w)
+        x_p = solve(-grad + apply_at(w * bound))
+        ax = apply_a(x_p)
+        y_p = w * (ax - bound)
+        v_p = jnp.where(jnp.all(jnp.isfinite(x_p)), viol(x_p), jnp.inf)
+        take = v_p < best_v
+        best_x = jnp.where(take, x_p, best_x)
+        best_v = jnp.where(take, v_p, best_v)
+        lo = (lo & (y_p <= 1e-9)) | (ax < l - 1e-6)
+        hi = (hi & (y_p >= -1e-9)) | (finite_u & (ax > u + 1e-6))
+        return (best_x, best_v, lo, hi), None
+
+    init = (x, jnp.maximum(viol(x), 0.0), lo_act, hi_act)
+    (x_p, _, _, _), _ = lax.scan(round_body, init, None, length=rounds)
+    return x_p
+
+
 def kkt_residuals(hess, grad, a_mat, l, u, x, y):
-    """(primal, dual) infinity-norm residuals (QpProblem.cpp:calcAndDisplayResidual)."""
+    """(primal, dual) infinity-norm residuals (QpProblem.cpp residual check)."""
     ax = a_mat @ x
     primal = jnp.max(jnp.maximum(ax - u, 0.0) + jnp.maximum(l - ax, 0.0))
     dual = jnp.max(jnp.abs(hess @ x + grad + a_mat.T @ y))
@@ -90,25 +147,29 @@ def kkt_residuals(hess, grad, a_mat, l, u, x, y):
 
 
 def admm_dense(
-    cfg: SolverConfig, hess, grad, a_mat, l, u, iterations: int | None = None
+    cfg: SolverConfig, hess, grad, a_mat, l, u, iterations: int | None = None,
+    polish_rounds: int = 0,
 ):
     """Generic dense-constraint ADMM solve. Returns (x, z, y)."""
     n_iter = cfg.iterations if iterations is None else iterations
     rho = constraint_rho(cfg, l, u)
-    k = hess + cfg.sigma * jnp.eye(hess.shape[0], dtype=hess.dtype)
-    k = k + jnp.matmul(a_mat.T * rho[None, :], a_mat, precision=_HI)
-    chol = jnp.linalg.cholesky(k)
-    return _iterate(
-        cfg,
-        chol,
-        lambda v: a_mat @ v,
-        lambda w: a_mat.T @ w,
-        grad,
-        l,
-        u,
-        rho,
-        n_iter,
+    eye = jnp.eye(hess.shape[0], dtype=hess.dtype)
+
+    def build_solver(w):
+        k = hess + cfg.sigma * eye
+        k = k + jnp.matmul(a_mat.T * w[None, :], a_mat, precision=_HI)
+        return _make_solver(k)
+
+    apply_a = lambda v: a_mat @ v
+    apply_at = lambda w: a_mat.T @ w
+    x, z, y = _iterate(
+        cfg, build_solver(rho), apply_a, apply_at, grad, l, u, rho, n_iter
     )
+    if polish_rounds > 0:
+        finite_u = u < cfg.infty
+        x = _polish(cfg, build_solver, apply_a, apply_at, grad, l, u, finite_u,
+                    x, z, y, polish_rounds)
+    return x, z, y
 
 
 def admm_mpc(
@@ -118,6 +179,7 @@ def admm_mpc(
     grad,            # (12h,)
     gait_table,      # (h,4) contact flags in {0,1}
     iterations: int | None = None,
+    polish_rounds: int | None = None,
 ):
     """MPC-specialized solve with the structural friction pyramid.
 
@@ -127,22 +189,33 @@ def admm_mpc(
     elimination (SolverMPC.cpp:441-525). Returns forces x (12h,).
     """
     n_iter = cfg.iterations if iterations is None else iterations
+    polish_rounds = cfg.polish_rounds if polish_rounds is None else polish_rounds
     h = gait_table.shape[0]
     n = 12 * h
     dtype = hess.dtype
 
+    # Normalize forces by f_max: x = F*x_hat. The natural SI problem has a
+    # tiny Hessian (diag ~1e-4) against O(100 N) forces — hopeless for f32
+    # ADMM/Cholesky. In normalized units everything is O(1).
+    f_scale = jnp.asarray(cfg_mpc.f_max, dtype)
+    hess_n = hess * (f_scale * f_scale)
+    grad_n = grad * f_scale
+
     l3, u3 = formation.pyramid_bounds(cfg_mpc, gait_table.astype(dtype))
-    l = l3.reshape(-1)
-    u = u3.reshape(-1)
+    l = l3.reshape(-1) / f_scale
+    u_raw = u3.reshape(-1)
+    u = jnp.where(u_raw > cfg.infty, u_raw, u_raw / f_scale)
     rho = constraint_rho(cfg, l, u)
 
-    gram = formation.pyramid_gram(cfg_mpc, rho.reshape(h, 4, 5))  # (h,4,3,3)
-    k = hess + cfg.sigma * jnp.eye(n, dtype=dtype)
-    k4 = k.reshape(h * 4, 3, h * 4, 3)
+    eye = jnp.eye(n, dtype=dtype)
     idx = jnp.arange(h * 4)
-    k4 = k4.at[idx, :, idx, :].add(gram.reshape(h * 4, 3, 3))
-    k = k4.reshape(n, n)
-    chol = jnp.linalg.cholesky(k)
+
+    def build_solver(w):
+        gram = formation.pyramid_gram(cfg_mpc, w.reshape(h, 4, 5))  # (h,4,3,3)
+        k = hess_n + cfg.sigma * eye
+        k4 = k.reshape(h * 4, 3, h * 4, 3)
+        k4 = k4.at[idx, :, idx, :].add(gram.reshape(h * 4, 3, 3))
+        return _make_solver(k4.reshape(n, n))
 
     def apply_a(v):
         return formation.pyramid_apply(cfg_mpc, v.reshape(h, 4, 3)).reshape(-1)
@@ -150,5 +223,10 @@ def admm_mpc(
     def apply_at(w):
         return formation.pyramid_apply_t(cfg_mpc, w.reshape(h, 4, 5)).reshape(-1)
 
-    x, _, _ = _iterate(cfg, chol, apply_a, apply_at, grad, l, u, rho, n_iter)
-    return x
+    x, z, y = _iterate(cfg, build_solver(rho), apply_a, apply_at, grad_n, l, u,
+                       rho, n_iter)
+    if polish_rounds > 0:
+        finite_u = u < cfg.infty
+        x = _polish(cfg, build_solver, apply_a, apply_at, grad_n, l, u,
+                    finite_u, x, z, y, polish_rounds)
+    return x * f_scale
