@@ -468,5 +468,14 @@ def controller_step(cfg: FrameworkConfig, state: FullControllerState,
     return leg_commands(cfg, state, ctx)
 
 
+def pre_work(cfg: FrameworkConfig, state: FullControllerState, sensors: Sensors):
+    """Estimator warm-up tick: run estimators + leg-data update, no control
+    (the reference's pre_work FFI call, GaitCtrller.cpp:58-63, used 10x at
+    reset, walking_simulation.py:185-189)."""
+    est, _ = run_estimators(cfg, state.core.estimator, sensors, state.prev_leg)
+    leg = leg_controller.update_data(cfg.robot, sensors.q, sensors.qd)
+    return state.replace(core=state.core.replace(estimator=est), prev_leg=leg)
+
+
 def init_state(cfg: FrameworkConfig) -> FullControllerState:
     return FullControllerState.create(cfg)
