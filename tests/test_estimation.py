@@ -1,0 +1,97 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quadruped_ctrl_tpu.config import default_config
+from quadruped_ctrl_tpu.control import controller as ctrl
+from quadruped_ctrl_tpu.core import rotations as rot
+from quadruped_ctrl_tpu.core.types import EstimatorState, Sensors
+from quadruped_ctrl_tpu.estimation import linear_kf, orientation
+from quadruped_ctrl_tpu.models import leg_kinematics as lk
+from quadruped_ctrl_tpu.sim.engine import CROUCH_Q
+
+CFG = default_config()
+
+
+def _stationary_sensors(yaw=0.0):
+    q_wxyz = rot.rpy_to_quat(jnp.array([0.0, 0.0, yaw], jnp.float32))
+    quat_xyzw = jnp.stack([q_wxyz[1], q_wxyz[2], q_wxyz[3], q_wxyz[0]])
+    return Sensors(
+        quat=quat_xyzw,
+        gyro=jnp.zeros(3, jnp.float32),
+        accelerometer=jnp.array([0.0, 0.0, 9.81], jnp.float32),
+        q=jnp.tile(CROUCH_Q, 4),
+        qd=jnp.zeros(12, jnp.float32),
+    )
+
+
+def test_orientation_zeroes_initial_yaw():
+    est = EstimatorState.create()
+    sensors = _stationary_sensors(yaw=0.7)
+    step = jax.jit(orientation.run)
+    est, out = step(est, sensors)
+    # initial yaw removed on first visit
+    np.testing.assert_allclose(np.asarray(out["rpy"]), 0.0, atol=1e-5)
+    # a later different yaw shows up relative to the initial one
+    est, out = step(est, _stationary_sensors(yaw=0.9))
+    np.testing.assert_allclose(np.asarray(out["rpy"])[2], 0.2, atol=1e-5)
+
+
+def test_orientation_rbody_convention():
+    est = EstimatorState.create()
+    sensors = _stationary_sensors(yaw=0.0)
+    est, out = jax.jit(orientation.run)(est, sensors)
+    np.testing.assert_allclose(np.asarray(out["r_body"]), np.eye(3), atol=1e-6)
+
+
+def test_kf_converges_when_stationary():
+    """Feet on the ground, zero velocity: the KF height should converge to
+    -foot_z (body height above ground) and velocity to zero."""
+    state = ctrl.init_state(CFG)
+    sensors = _stationary_sensors()
+    step = jax.jit(lambda s: ctrl.pre_work(CFG, s, sensors))
+    # contact phase defaults to 0.5 (full trust)
+    for _ in range(300):
+        state = step(state)
+    xhat = np.asarray(state.core.estimator.kf_xhat)
+    q = np.tile(np.asarray(CROUCH_Q), (4, 1))
+    foot_body = np.asarray(lk.leg_fk(CFG.robot, jnp.asarray(q))) + np.asarray(
+        CFG.robot.hip_locations()
+    )
+    expected_height = -foot_body[:, 2].mean()
+    assert abs(xhat[2] - expected_height) < 0.01
+    np.testing.assert_allclose(xhat[3:6], 0.0, atol=1e-3)
+
+
+def test_kf_tracks_constant_velocity():
+    """Synthesize a body translating at constant vx with feet stationary
+    (stance): KF velocity should converge to vx."""
+    cfg = CFG
+    state = ctrl.init_state(cfg)
+    vx = 0.2
+    dt = cfg.dt
+    q0 = jnp.tile(CROUCH_Q, (4, 1))
+    hips = jnp.asarray(cfg.robot.hip_locations())
+    foot_body0 = hips + lk.leg_fk(cfg.robot, q0)
+
+    def sensors_at(t):
+        # feet fixed in world; body moves +x -> foot moves -x in body frame
+        offset = jnp.array([vx * t, 0.0, 0.0], jnp.float32)
+        p_leg = foot_body0 - offset[None, :] - hips
+        q = lk.leg_ik(cfg.robot, p_leg)
+        jac = lk.leg_jacobian(cfg.robot, q)
+        v_leg = jnp.tile(jnp.array([-vx, 0.0, 0.0], jnp.float32), (4, 1))
+        qd = jnp.linalg.solve(jac, v_leg[..., None])[..., 0]
+        return Sensors(
+            quat=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+            gyro=jnp.zeros(3, jnp.float32),
+            accelerometer=jnp.array([0.0, 0.0, 9.81], jnp.float32),
+            q=q.reshape(12),
+            qd=qd.reshape(12),
+        )
+
+    step = jax.jit(lambda s, t: ctrl.pre_work(cfg, s, sensors_at(t)))
+    for i in range(150):  # 0.3 s => 6 cm of travel, stays inside the workspace
+        state = step(state, jnp.asarray(i * dt, jnp.float32))
+    xhat = np.asarray(state.core.estimator.kf_xhat)
+    assert abs(xhat[3] - vx) < 0.05
