@@ -96,6 +96,10 @@ class SolverConfig:
     over_relax_alpha: float = 1.6
     iterations: int = 50          # fixed iteration count for batched solves
     polish_rounds: int = 6        # active-set polish solves after ADMM
+    ns_iters: int = 25            # Newton-Schulz iterations, cold start
+    ns_warm_iters: int = 25       # NS iterations when warm-started (the
+                                  # active set changes between polish rounds
+                                  # invalidate warm starts more often than not)
     infty: float = 1e10
     eql_tol: float = 1e-9
 

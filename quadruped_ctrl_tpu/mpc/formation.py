@@ -87,8 +87,33 @@ def expm_fixed(m, scaling: int = 4, order: int = 10):
 
 
 def discretize(a_ct, b_ct, dt):
-    """Exact zero-order-hold discretization via the augmented exponential
-    exp(dt*[[A,B],[0,0]]) (SolverMPC.cpp:87-95). Returns (Adt 13x13, Bdt 13x12)."""
+    """Exact zero-order-hold discretization. Returns (Adt 13x13, Bdt 13x12).
+
+    The reference computes exp(dt*[[A,B],[0,0]]) with a dense 25x25 matrix
+    exponential (SolverMPC.cpp:87-95). But the SRB A matrix is nilpotent of
+    index 3 (A^3 = 0 exactly: rpy<-omega, p<-v, vz<-drag*vx+g chains never
+    cycle), so the exponential IS the degree-2 polynomial — the same result
+    to machine precision at ~1/30th the FLOPs, with no sequential
+    Taylor/squaring chain:
+
+        Adt = I + dt A + dt^2/2 A^2
+        Bdt = (dt I + dt^2/2 A + dt^3/6 A^2) B
+    """
+    dtype = a_ct.dtype
+    eye = jnp.eye(13, dtype=dtype)
+    a2 = jnp.matmul(a_ct, a_ct, precision=_HI)
+    adt = eye + dt * a_ct + (dt * dt / 2.0) * a2
+    bdt = jnp.matmul(
+        dt * eye + (dt * dt / 2.0) * a_ct + (dt**3 / 6.0) * a2,
+        b_ct,
+        precision=_HI,
+    )
+    return adt, bdt
+
+
+def discretize_expm(a_ct, b_ct, dt):
+    """Generic augmented-exponential discretization (for non-nilpotent
+    dynamics and as the differential-test reference for `discretize`)."""
     dtype = a_ct.dtype
     abc = jnp.zeros((25, 25), dtype=dtype)
     abc = abc.at[0:13, 0:13].set(a_ct).at[0:13, 13:25].set(b_ct)
@@ -107,7 +132,8 @@ def condense(adt, bdt, h_max: int):
         nxt = jnp.matmul(adt, carry, precision=_HI)
         return nxt, nxt
 
-    eye = jnp.eye(13, dtype=adt.dtype)
+    # 0*adt makes the carry inherit adt's sharding/varying axes (shard_map)
+    eye = jnp.eye(13, dtype=adt.dtype) + 0.0 * adt
     _, powers_tail = lax.scan(step, eye, None, length=h_max)
     powers = jnp.concatenate([eye[None], powers_tail], axis=0)  # (h_max+1,13,13)
 

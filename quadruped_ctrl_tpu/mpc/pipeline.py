@@ -1,0 +1,101 @@
+"""The complete MPC pipeline (linearize -> discretize -> condense -> cost ->
+ADMM solve) as one pure function, plus its batched form.
+
+This is the throughput unit for the solves/s benchmarks: everything the
+reference does between `update_problem_data_floats` and `get_solution`
+(convexMPC_interface.cpp:121-180) for one scenario, vmappable over thousands.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quadruped_ctrl_tpu.config import FrameworkConfig
+from quadruped_ctrl_tpu.mpc import formation
+from quadruped_ctrl_tpu.solver import admm
+
+
+@struct.dataclass
+class MPCInputs:
+    """Per-scenario solver inputs (the reference's update_data_t,
+    convexMPC_interface.h:10-38)."""
+
+    rpy: jnp.ndarray          # (3,)
+    position: jnp.ndarray     # (3,)
+    omega_world: jnp.ndarray  # (3,)
+    v_world: jnp.ndarray      # (3,)
+    r_feet: jnp.ndarray       # (4,3) foot positions relative to CoM, world
+    traj: jnp.ndarray         # (h,13) reference (13th column zero)
+    gait_table: jnp.ndarray   # (h,4)
+    x_drag: jnp.ndarray       # ()
+
+
+def solve(cfg: FrameworkConfig, inp: MPCInputs, h: int | None = None,
+          iterations: int | None = None, polish_rounds: int | None = None):
+    """One full MPC solve. Returns forces (h,4,3), world frame."""
+    h = inp.gait_table.shape[0] if h is None else h
+    a_ct, b_ct = formation.srb_ct_dynamics(
+        cfg.mpc, inp.r_feet, inp.rpy[2], inp.x_drag
+    )
+    adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
+    a_qp, b_qp = formation.condense(adt, bdt, h)
+    x0 = formation.build_x0(
+        inp.rpy, inp.position, inp.omega_world, inp.v_world, cfg.mpc.gravity
+    )
+    step_mask = jnp.ones((h,), jnp.float32)
+    hess, grad = formation.qp_cost(cfg.mpc, a_qp, b_qp, x0, inp.traj, step_mask)
+    forces = admm.admm_mpc(
+        cfg.solver, cfg.mpc, hess, grad, inp.gait_table,
+        iterations=iterations, polish_rounds=polish_rounds,
+    )
+    return forces.reshape(h, 4, 3)
+
+
+def solve_batch(cfg: FrameworkConfig, inputs: MPCInputs, **kw):
+    """vmapped solve over a leading batch axis."""
+    return jax.vmap(lambda i: solve(cfg, i, **kw))(inputs)
+
+
+def random_inputs(key, batch: int, h: int, trot: bool = True) -> MPCInputs:
+    """Random-but-realistic scenario batch (the JCQP ProblemGenerator pattern,
+    reference src/JCQP/ProblemGenerator.cpp:9-40)."""
+    ks = jax.random.split(key, 8)
+    rpy = jax.random.uniform(ks[0], (batch, 3), jnp.float32, -0.1, 0.1)
+    position = jnp.concatenate(
+        [
+            jax.random.uniform(ks[1], (batch, 2), jnp.float32, -1.0, 1.0),
+            jax.random.uniform(ks[2], (batch, 1), jnp.float32, 0.25, 0.3),
+        ],
+        axis=1,
+    )
+    omega = jax.random.uniform(ks[3], (batch, 3), jnp.float32, -0.3, 0.3)
+    v = jax.random.uniform(ks[4], (batch, 3), jnp.float32, -0.5, 0.5)
+    r_feet = jax.random.uniform(ks[5], (batch, 4, 3), jnp.float32, -0.25, 0.25)
+    r_feet = r_feet.at[:, :, 2].set(
+        jax.random.uniform(ks[6], (batch, 4), jnp.float32, -0.30, -0.25)
+    )
+    traj = jnp.zeros((batch, h, 13), jnp.float32)
+    traj = traj.at[:, :, 5].set(0.25)
+    traj = traj.at[:, :, 9].set(v[:, None, 0])
+    if trot:
+        half = h // 2
+        tbl = jnp.zeros((h, 4), jnp.float32)
+        tbl = tbl.at[:half, 0].set(1).at[:half, 3].set(1)
+        tbl = tbl.at[half:, 1].set(1).at[half:, 2].set(1)
+        gait = jnp.tile(tbl, (batch, 1, 1))
+    else:
+        gait = jnp.ones((batch, h, 4), jnp.float32)
+    return MPCInputs(
+        rpy=rpy,
+        position=position,
+        omega_world=omega,
+        v_world=v,
+        r_feet=r_feet,
+        traj=traj,
+        gait_table=gait,
+        x_drag=jnp.zeros((batch,), jnp.float32),
+    )
