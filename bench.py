@@ -5,11 +5,18 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: 10,000 solves/s/chip (BASELINE.md).
 
 Each "solve" is the full reference-equivalent MPC pipeline for one scenario:
-SRB linearization, 25x25 matrix-exponential discretization, condensed
-A_qp/B_qp stacking, H/g assembly, 50 ADMM iterations + 6 polish rounds
-(7 Cholesky factorizations of the 120x120 KKT), i.e. everything between
+SRB linearization, exact nilpotent discretization, condensed A_qp/B_qp
+stacking, stance-compressed H/g assembly (the reference's swing-variable
+elimination as a static one-hot contraction), pair-packed block-diagonal
+KKT systems, 50 ADMM iterations + 6 active-set polish rounds (7
+Newton-Schulz KKT factorizations), i.e. everything between
 update_problem_data_floats and get_solution in the reference
 (convexMPC_interface.cpp:121-180).
+
+Timing methodology: the repetitions are chained *inside* one jit (each rep's
+inputs depend on the previous rep's forces, defeating any elision), and the
+final scalar is fetched to the host — `block_until_ready` alone does not
+guarantee completion under remote-tunnel TPU transports.
 """
 
 import json
@@ -17,29 +24,41 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 from quadruped_ctrl_tpu.config import default_config
 from quadruped_ctrl_tpu.mpc import pipeline
+
+
+def chained_solves(cfg, inputs, n_reps):
+    def body(inp, _):
+        forces = pipeline.solve_packed_batch(cfg, inp)
+        inp = inp.replace(
+            v_world=inp.v_world + 1e-9 * jnp.mean(forces, axis=(1, 2))
+        )
+        return inp, None
+
+    inp, _ = lax.scan(body, inputs, None, length=n_reps)
+    return jnp.sum(inp.v_world)
 
 
 def main():
     cfg = default_config()
     h = 10
     batch = 4096
-    key = jax.random.PRNGKey(0)
-    inputs = pipeline.random_inputs(key, batch, h)
+    n_reps = 8
+    inputs = pipeline.random_inputs(jax.random.PRNGKey(0), batch, h)
 
-    fn = jax.jit(lambda inp: pipeline.solve_batch(cfg, inp))
-    # warm-up / compile
-    out = fn(inputs)
-    jax.block_until_ready(out)
+    fn = jax.jit(lambda inp: chained_solves(cfg, inp, n_reps))
+    np.asarray(fn(inputs))  # compile + warm up
 
-    n_reps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_reps):
-        out = fn(inputs)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(inputs))  # host fetch forces completion
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     solves_per_s = batch * n_reps / dt
     print(

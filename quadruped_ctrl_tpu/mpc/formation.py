@@ -180,13 +180,13 @@ def qp_cost(
 
 def pyramid_bounds(cfg_mpc: MPCConfig, gait_table):
     """Lower/upper bounds of the 5 constraint rows per foot-step
-    (SolverMPC.cpp:352-364). gait_table: (h,4) in {0,1}. Returns l,u (h,4,5)."""
-    h = gait_table.shape[0]
+    (SolverMPC.cpp:352-364). gait_table: (h,nf) in {0,1}. Returns l,u (h,nf,5)."""
+    h, nf = gait_table.shape
     dtype = gait_table.dtype
     big = jnp.asarray(cfg_mpc.big_number, dtype=dtype)
-    u = jnp.broadcast_to(big, (h, 4, 5)).copy()
+    u = jnp.broadcast_to(big, (h, nf, 5)).copy()
     u = u.at[:, :, 4].set(gait_table * cfg_mpc.f_max)
-    l = jnp.zeros((h, 4, 5), dtype=dtype)
+    l = jnp.zeros((h, nf, 5), dtype=dtype)
     return l, u
 
 
@@ -235,3 +235,71 @@ def build_x0(rpy, position, omega_world, v_world, gravity):
     return jnp.concatenate(
         [rpy, position, omega_world, v_world, jnp.asarray([-gravity], rpy.dtype)]
     )
+
+
+def compress_stance(gait_table, max_stance: int):
+    """Per-step stance-foot index map for swing-variable elimination.
+
+    The reference removes swing-foot variables and their constraint rows from
+    the QP (SolverMPC.cpp:441-525) with dynamic sizes; here the compression
+    is a static-shape gather: each step keeps `max_stance` foot slots, stance
+    feet first (argsort), any padding slots being swing feet whose force is
+    pinned to zero by their own bounds — the same minimizer either way.
+
+    gait_table: (h,4) -> (foot_idx (h,max_stance) int32,
+                          gait_red (h,max_stance)).
+    """
+    order = jnp.argsort(-gait_table, axis=1, stable=True)      # stance first
+    foot_idx = order[:, :max_stance].astype(jnp.int32)
+    gait_red = jnp.take_along_axis(gait_table, foot_idx, axis=1)
+    return foot_idx, gait_red
+
+
+def qp_cost_compressed(
+    cfg_mpc: MPCConfig,
+    a_qp,            # (h,13,13)
+    b_qp,            # (h,h,13,12)
+    x0,              # (13,)
+    x_d,             # (h,13)
+    step_mask,       # (h,)
+    foot_idx,        # (h,max_stance) from compress_stance
+):
+    """Hessian/gradient over stance-foot variables only.
+
+    Forming the reduced H directly costs (13h)(3*ms*h)^2 instead of
+    (13h)(12h)^2 — for a trot (ms=2) an 8x reduction in the factorization
+    work downstream and 4x here.
+    """
+    h = a_qp.shape[0]
+    ms = foot_idx.shape[1]
+    dtype = a_qp.dtype
+    w = jnp.concatenate(
+        [jnp.asarray(cfg_mpc.weights_arr(), dtype=dtype), jnp.zeros(1, dtype=dtype)]
+    )
+    s_diag = w[None, :] * step_mask[:, None]                    # (h,13)
+
+    # select stance-foot columns as a one-hot contraction (a gather via
+    # take_along_axis is ~25x slower on TPU): (h,h,13,4,3) -> (h,h,13,ms,3)
+    b5 = b_qp.reshape(h, h, 13, 4, 3)
+    sel = jax.nn.one_hot(foot_idx, 4, dtype=dtype)              # (h,ms,4)
+    b_red = jnp.einsum("xsifz,sjf->xsijz", b5, sel, precision=_HI)
+
+    n_c = h * ms * 3
+    bq = b_red.transpose(0, 2, 1, 3, 4).reshape(h * 13, n_c)
+    sb = s_diag.reshape(-1, 1) * bq
+    hess = 2.0 * (
+        jnp.matmul(bq.T, sb, precision=_HI)
+        + cfg_mpc.alpha * jnp.eye(n_c, dtype=dtype)
+    )
+    resid = (jnp.einsum("hij,j->hi", a_qp, x0, precision=_HI) - x_d) * s_diag
+    grad = 2.0 * jnp.matmul(bq.T, resid.reshape(-1), precision=_HI)
+    return hess, grad
+
+
+def scatter_forces(x_red, foot_idx, h: int):
+    """Reduced solution (h*ms*3,) -> full (h,4,3) with zeros on swing feet."""
+    ms = foot_idx.shape[1]
+    forces = jnp.zeros((h, 4, 3), x_red.dtype)
+    return forces.at[
+        jnp.arange(h)[:, None], foot_idx, :
+    ].set(x_red.reshape(h, ms, 3))

@@ -99,3 +99,93 @@ def random_inputs(key, batch: int, h: int, trot: bool = True) -> MPCInputs:
         gait_table=gait,
         x_drag=jnp.zeros((batch,), jnp.float32),
     )
+
+
+def solve_compressed(cfg: FrameworkConfig, inp: MPCInputs, max_stance: int,
+                     h: int | None = None, iterations: int | None = None,
+                     polish_rounds: int | None = None):
+    """Full MPC solve over stance-foot variables only (the reference's
+    swing-variable elimination, SolverMPC.cpp:441-525, as a static-shape
+    gather). For a trot (max_stance=2) the KKT factorizations shrink 8x.
+    Returns forces (h,4,3) with zeros on swing feet."""
+    h = inp.gait_table.shape[0] if h is None else h
+    a_ct, b_ct = formation.srb_ct_dynamics(
+        cfg.mpc, inp.r_feet, inp.rpy[2], inp.x_drag
+    )
+    adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
+    a_qp, b_qp = formation.condense(adt, bdt, h)
+    x0 = formation.build_x0(
+        inp.rpy, inp.position, inp.omega_world, inp.v_world, cfg.mpc.gravity
+    )
+    foot_idx, gait_red = formation.compress_stance(inp.gait_table, max_stance)
+    step_mask = jnp.ones((h,), jnp.float32)
+    hess, grad = formation.qp_cost_compressed(
+        cfg.mpc, a_qp, b_qp, x0, inp.traj, step_mask, foot_idx
+    )
+    x_red = admm.admm_mpc(
+        cfg.solver, cfg.mpc, hess, grad, gait_red,
+        iterations=iterations, polish_rounds=polish_rounds,
+    )
+    return formation.scatter_forces(x_red, foot_idx, h)
+
+
+def solve_compressed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
+                           max_stance: int, **kw):
+    return jax.vmap(lambda i: solve_compressed(cfg, i, max_stance, **kw))(inputs)
+
+
+def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
+                       max_stance: int = 2, pack: int = 2,
+                       h: int | None = None, iterations: int | None = None,
+                       polish_rounds: int | None = None):
+    """Stance-compressed + pair-packed batched solve.
+
+    Two (or `pack`) compressed scenarios are packed into one block-diagonal
+    KKT system: for a trot, 2 scenarios x 60 vars = one 120x120 system — the
+    same MXU-friendly shape as the uncompressed problem at HALF the system
+    count, and exactly equivalent (block-diagonal inverses don't mix; the
+    packed problem is literally the two QPs side by side, steps relabeled).
+    Returns forces (B, h, 4, 3) with zeros on swing feet.
+    """
+    b = inputs.rpy.shape[0]
+    assert b % pack == 0
+    h = inputs.gait_table.shape[1] if h is None else h
+
+    def form_one(inp):
+        a_ct, b_ct = formation.srb_ct_dynamics(
+            cfg.mpc, inp.r_feet, inp.rpy[2], inp.x_drag
+        )
+        adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
+        a_qp, b_qp = formation.condense(adt, bdt, h)
+        x0 = formation.build_x0(
+            inp.rpy, inp.position, inp.omega_world, inp.v_world, cfg.mpc.gravity
+        )
+        foot_idx, gait_red = formation.compress_stance(inp.gait_table, max_stance)
+        step_mask = jnp.ones((h,), jnp.float32)
+        hess, grad = formation.qp_cost_compressed(
+            cfg.mpc, a_qp, b_qp, x0, inp.traj, step_mask, foot_idx
+        )
+        return hess, grad, gait_red, foot_idx
+
+    hess, grad, gait_red, foot_idx = jax.vmap(form_one)(inputs)
+    n_c = hess.shape[-1]
+
+    # pack `pack` scenarios block-diagonally
+    hp = hess.reshape(b // pack, pack, n_c, n_c)
+    kp = jnp.zeros((b // pack, pack * n_c, pack * n_c), hess.dtype)
+    for j in range(pack):
+        kp = kp.at[:, j * n_c : (j + 1) * n_c, j * n_c : (j + 1) * n_c].set(
+            hp[:, j]
+        )
+    gp = grad.reshape(b // pack, pack * n_c)
+    gaitp = gait_red.reshape(b // pack, pack * h, max_stance)
+
+    def solve_one(k, g, gt):
+        return admm.admm_mpc(cfg.solver, cfg.mpc, k, g, gt,
+                             iterations=iterations, polish_rounds=polish_rounds)
+
+    xp = jax.vmap(solve_one)(kp, gp, gaitp)          # (B/pack, pack*n_c)
+    x_red = xp.reshape(b, n_c)
+    return jax.vmap(lambda xr, fi: formation.scatter_forces(xr, fi, h))(
+        x_red, foot_idx
+    )

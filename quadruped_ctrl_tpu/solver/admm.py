@@ -230,12 +230,15 @@ def admm_mpc(
     Swing feet (gait=0) have fz bounds [0,0]: an equality row whose
     rho*rho_equality_scale penalty pins fz (and via the pyramid rows fx, fy)
     to zero — the bound-masking equivalent of the reference's swing-variable
-    elimination (SolverMPC.cpp:441-525). Returns forces x (12h,).
+    elimination (SolverMPC.cpp:441-525). Accepts an optionally
+    stance-compressed gait table (h, nf<=4) paired with a matching
+    compressed Hessian (see formation.compress_stance / qp_cost_compressed).
+    Returns forces x (3*nf*h,).
     """
     n_iter = cfg.iterations if iterations is None else iterations
     polish_rounds = cfg.polish_rounds if polish_rounds is None else polish_rounds
-    h = gait_table.shape[0]
-    n = 12 * h
+    h, nf = gait_table.shape
+    n = 3 * nf * h
     dtype = hess.dtype
 
     # Normalize forces by f_max: x = F*x_hat. The natural SI problem has a
@@ -252,21 +255,21 @@ def admm_mpc(
     rho = constraint_rho(cfg, l, u)
 
     eye = jnp.eye(n, dtype=dtype)
-    idx = jnp.arange(h * 4)
+    idx = jnp.arange(h * nf)
 
     def build_solver(w, prev_inv=None, prev_scale=None):
-        gram = formation.pyramid_gram(cfg_mpc, w.reshape(h, 4, 5))  # (h,4,3,3)
+        gram = formation.pyramid_gram(cfg_mpc, w.reshape(h, nf, 5))  # (h,nf,3,3)
         k = hess_n + cfg.sigma * eye
-        k4 = k.reshape(h * 4, 3, h * 4, 3)
-        k4 = k4.at[idx, :, idx, :].add(gram.reshape(h * 4, 3, 3))
+        k4 = k.reshape(h * nf, 3, h * nf, 3)
+        k4 = k4.at[idx, :, idx, :].add(gram.reshape(h * nf, 3, 3))
         ns = cfg.ns_iters if prev_inv is None else cfg.ns_warm_iters
         return _make_solver(k4.reshape(n, n), ns, prev_inv, prev_scale)
 
     def apply_a(v):
-        return formation.pyramid_apply(cfg_mpc, v.reshape(h, 4, 3)).reshape(-1)
+        return formation.pyramid_apply(cfg_mpc, v.reshape(h, nf, 3)).reshape(-1)
 
     def apply_at(w):
-        return formation.pyramid_apply_t(cfg_mpc, w.reshape(h, 4, 5)).reshape(-1)
+        return formation.pyramid_apply_t(cfg_mpc, w.reshape(h, nf, 5)).reshape(-1)
 
     x, z, y = _iterate(cfg, build_solver(rho), apply_a, apply_at, grad_n, l, u,
                        rho, n_iter)
