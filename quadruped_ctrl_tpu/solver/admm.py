@@ -155,30 +155,39 @@ def _polish(cfg: SolverConfig, build_solver, apply_a, apply_at, grad, l, u,
         av = apply_a(v)
         return jnp.max(jnp.maximum(l - av, jnp.where(finite_u, av - u, -1.0)))
 
-    def one_round(best_x, best_v, lo, hi, prev_inv, prev_scale):
+    def one_round(best_x, best_v, lo, hi, y_al, prev_inv, prev_scale):
         act = lo | hi
         bound = jnp.where(lo, l, jnp.where(hi & finite_u, u, 0.0))
         w = jnp.where(act, w_act, 0.0)
         solve = build_solver(w, prev_inv=prev_inv, prev_scale=prev_scale)
-        x_p = solve(-grad + apply_at(w * bound))
+        # augmented-Lagrangian dual correction: a pure penalty solve misses
+        # the bound by |dual|/w (up to ~10% when duals are O(1e3) at the
+        # f_max cap); carrying multiplier estimates makes the active
+        # constraints exact as rounds progress
+        y_act = jnp.where(act, y_al, 0.0)
+        x_p = solve(-grad + apply_at(w * bound - y_act))
         ax = apply_a(x_p)
-        y_p = w * (ax - bound)
+        y_new = y_act + w * (ax - bound)
         v_p = jnp.where(jnp.all(jnp.isfinite(x_p)), viol(x_p), jnp.inf)
         take = v_p < best_v
         best_x = jnp.where(take, x_p, best_x)
         best_v = jnp.where(take, v_p, best_v)
-        lo = (lo & (y_p <= 1e-9)) | (ax < l - 1e-6)
-        hi = (hi & (y_p >= -1e-9)) | (finite_u & (ax > u + 1e-6))
-        return best_x, best_v, lo, hi, solve.scaled_inv, solve.scale
+        lo = (lo & (y_new <= 1e-9)) | (ax < l - 1e-6)
+        hi = (hi & (y_new >= -1e-9)) | (finite_u & (ax > u + 1e-6))
+        y_al = jnp.where(lo | hi, y_new, 0.0)
+        return best_x, best_v, lo, hi, y_al, solve.scaled_inv, solve.scale
 
-    # round 0: cold factorization (full NS budget); later rounds warm-start
-    carry = one_round(x, jnp.maximum(viol(x), 0.0), lo_act, hi_act, None, None)
+    # round 0: cold factorization (full NS budget), duals seeded from ADMM;
+    # later rounds warm-start the factorization and refine the duals
+    y_seed = jnp.where(lo_act | hi_act, y, 0.0)
+    carry = one_round(x, jnp.maximum(viol(x), 0.0), lo_act, hi_act, y_seed,
+                      None, None)
 
     def round_body(carry, _):
         return one_round(*carry), None
 
-    (x_p, _, _, _, _, _), _ = lax.scan(round_body, carry, None,
-                                       length=max(rounds - 1, 0))
+    (x_p, _, _, _, _, _, _), _ = lax.scan(round_body, carry, None,
+                                          length=max(rounds - 1, 0))
     return x_p
 
 
