@@ -1,0 +1,187 @@
+"""Command-line entry points — the replacement for the reference's ROS
+launch/param/topic surface (launch/quadruped_ctrl.launch,
+config/quadruped_ctrl_config.yaml, gait_type/robot_mode services, cmd_vel):
+
+    python -m quadruped_ctrl_tpu.cli sim   --gait trot --vx 0.5 --terrain plane
+    python -m quadruped_ctrl_tpu.cli sweep --batch 256 --terrains plane,random
+    python -m quadruped_ctrl_tpu.cli bench
+
+Gait names follow the reference numbering (ConvexMPCLocomotion.cpp:149-172).
+A YAML config file (--config) overrides any FrameworkConfig field with
+dotted keys, e.g. `mpc.horizon: 10`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+GAITS = {
+    "bounding": 1,
+    "pronking": 2,
+    "standing": 4,
+    "trot_running": 5,
+    "galloping": 7,
+    "pacing": 8,
+    "trot": 9,
+    "walking": 10,
+    "walking2": 11,
+}
+
+
+def load_config(path: str | None, overrides: dict | None = None):
+    from quadruped_ctrl_tpu.config import default_config
+
+    kv = {}
+    if path:
+        import yaml
+
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+
+        def flatten(prefix, node):
+            for k, v in node.items():
+                key = f"{prefix}.{k}" if prefix else k
+                if isinstance(v, dict):
+                    flatten(key, v)
+                else:
+                    kv[key] = v
+
+        flatten("", doc)
+    if overrides:
+        kv.update(overrides)
+    return default_config(**kv)
+
+
+def cmd_sim(args):
+    import numpy as np
+    import jax
+
+    from quadruped_ctrl_tpu.core.types import Command
+    from quadruped_ctrl_tpu.sim import rollout as R
+    from quadruped_ctrl_tpu.sim.terrain import Terrain
+    from quadruped_ctrl_tpu.utils.metrics import MetricsLogger, tracking_metrics
+    from quadruped_ctrl_tpu.utils.timer import Timer
+
+    cfg = load_config(args.config)
+    terrain = {
+        "plane": Terrain.plane,
+        "random": lambda: Terrain.random(jax.random.PRNGKey(args.seed)),
+        "stairs": Terrain.stairs,
+        "slope": Terrain.slope,
+    }[args.terrain]()
+    gait = GAITS[args.gait]
+    cmd = Command.create(args.vx, args.vy, args.wz, gait_type=gait,
+                         robot_mode=args.mode)
+    timer = Timer()
+    _, sim, traj = R.run_session(cfg, terrain, cmd, n_ticks=args.ticks)
+    wall = timer.get_seconds()
+    m = tracking_metrics(traj, (args.vx, args.vy), cfg.control.body_height)
+    m.update(
+        ticks=args.ticks,
+        sim_seconds=args.ticks * cfg.dt,
+        wall_seconds=wall,
+        realtime_factor=args.ticks * cfg.dt / wall,
+        gait=args.gait,
+        terrain=args.terrain,
+    )
+    MetricsLogger(args.log, echo=True).log(m)
+    return 0 if m["safety_ok"] and not m["fell"] else 1
+
+
+def cmd_sweep(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from quadruped_ctrl_tpu.core.types import Command
+    from quadruped_ctrl_tpu.sim import batch_rollout as br
+    from quadruped_ctrl_tpu.utils.metrics import MetricsLogger
+    from quadruped_ctrl_tpu.utils.timer import Timer
+
+    cfg = load_config(args.config)
+    key = jax.random.PRNGKey(args.seed)
+    kinds = tuple(args.terrains.split(","))
+    terr = br.batch_terrains(args.batch, key, kinds=kinds)
+    states, sims = br.batch_init(cfg, terr, args.batch)
+
+    stand = Command(
+        vel=jnp.zeros((args.batch, 3), jnp.float32),
+        gait_type=jnp.full((args.batch,), 9, jnp.int32),
+        robot_mode=jnp.ones((args.batch,), jnp.int32),
+    )
+    cmds = br.sweep_commands(
+        cfg, (0.0, args.vx_max), (-0.3, 0.3), (-0.5, 0.5),
+        [GAITS[g] for g in args.gaits.split(",")], args.batch, key,
+    )
+    timer = Timer()
+    states, sims, _ = br.batch_rollout(cfg, states, sims, stand, terr, 16)
+    states, sims, recs = br.batch_rollout(
+        cfg, states, sims, cmds, terr, args.macros
+    )
+    import numpy as np
+
+    p = np.asarray(recs["p"])
+    safety = np.asarray(recs["safety"])[-1]
+    upright = p[-1, :, 2] > 0.12
+    wall = timer.get_seconds()
+    ticks = (16 + args.macros) * cfg.mpc.iterations_between_mpc
+    m = {
+        "batch": args.batch,
+        "macros": args.macros,
+        "survival_rate": float(upright.mean()),
+        "safety_rate": float(safety.mean()),
+        "wall_seconds": wall,
+        "robot_ticks_per_s": args.batch * ticks / wall,
+        "terrains": args.terrains,
+    }
+    MetricsLogger(args.log, echo=True).log(m)
+    return 0
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="quadruped_ctrl_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("sim", help="single-robot closed-loop session")
+    s.add_argument("--gait", default="trot", choices=sorted(GAITS))
+    s.add_argument("--terrain", default="plane",
+                   choices=["plane", "random", "stairs", "slope"])
+    s.add_argument("--vx", type=float, default=0.5)
+    s.add_argument("--vy", type=float, default=0.0)
+    s.add_argument("--wz", type=float, default=0.0)
+    s.add_argument("--mode", type=int, default=0, choices=[0, 1])
+    s.add_argument("--ticks", type=int, default=2500)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--config", default=None)
+    s.add_argument("--log", default=None)
+    s.set_defaults(fn=cmd_sim)
+
+    s = sub.add_parser("sweep", help="batched scenario sweep")
+    s.add_argument("--batch", type=int, default=64)
+    s.add_argument("--macros", type=int, default=150)
+    s.add_argument("--terrains", default="plane")
+    s.add_argument("--gaits", default="trot")
+    s.add_argument("--vx-max", type=float, default=1.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--config", default=None)
+    s.add_argument("--log", default=None)
+    s.set_defaults(fn=cmd_sweep)
+
+    s = sub.add_parser("bench", help="MPC solves/s benchmark")
+    s.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
