@@ -114,7 +114,7 @@ def test_actuator_model_saturation():
     tau = np.asarray(actuator.achievable_torque(ROBOT, jnp.full(12, 500.0), qd))
     g = np.array([6.0, 6.0, 9.33] * 4)
     np.testing.assert_allclose(tau, g * 3.0, rtol=1e-5)
-    # high speed reduces available torque (back-EMF)
-    fast = jnp.full(12, 20.0)
+    # high speed reduces available torque (back-EMF voltage limit binds)
+    fast = jnp.full(12, 35.0)
     tau_fast = np.asarray(actuator.achievable_torque(ROBOT, jnp.full(12, 500.0), fast))
     assert (tau_fast < tau - 1.0).all()
