@@ -102,8 +102,16 @@ def _make_solver(k, ns_iters: int = 25, prev_inv=None, prev_scale=None):
         init = r[:, None] * prev_inv * r[None, :]
     inv = _ns_inverse(ks, ns_iters, init=init)
 
-    def solve(b):
-        return d * jnp.matmul(inv, d * b, precision=_HI)
+    def solve(b, refine: int = 2):
+        """Solve with iterative refinement: the NS inverse is only accurate
+        to ~eps*cond, but two residual-correction passes square away the
+        error at the cost of two extra matvecs."""
+        bs = d * b
+        x = jnp.matmul(inv, bs, precision=_HI)
+        for _ in range(refine):
+            r = bs - jnp.matmul(ks, x, precision=_HI)
+            x = x + jnp.matmul(inv, r, precision=_HI)
+        return d * x
 
     solve.scaled_inv = inv
     solve.scale = d
