@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from quadruped_ctrl_tpu.config import FrameworkConfig
 from quadruped_ctrl_tpu.mpc import pipeline
