@@ -32,7 +32,7 @@ from jax import lax
 from flax import struct
 
 from quadruped_ctrl_tpu.config import FrameworkConfig
-from quadruped_ctrl_tpu.control import leg_controller, safety
+from quadruped_ctrl_tpu.control import desired_state, leg_controller, safety
 from quadruped_ctrl_tpu.control import swing as swing_mod
 from quadruped_ctrl_tpu.core import rotations as rot
 from quadruped_ctrl_tpu.core.types import (
@@ -61,6 +61,7 @@ class FullControllerState:
     prev_leg: LegData          # previous tick's kinematics (estimator lag)
     swing_p_cur: jnp.ndarray   # (4,3) last computed swing position (world)
     swing_v_cur: jnp.ndarray   # (4,3) last computed swing velocity (world)
+    dsc: desired_state.DesiredStateCommandState
 
     @staticmethod
     def create(cfg: FrameworkConfig):
@@ -76,6 +77,7 @@ class FullControllerState:
             prev_leg=zero_leg,
             swing_p_cur=jnp.zeros((4, 3), jnp.float32),
             swing_v_cur=jnp.zeros((4, 3), jnp.float32),
+            dsc=desired_state.DesiredStateCommandState.create(),
         )
 
 
@@ -198,6 +200,12 @@ def control_tick(cfg: FrameworkConfig, state: FullControllerState,
 
     # --- command pipeline ---
     gamepad = apply_vel_deadband(cfg, cmd.vel)
+    # DesiredStateCommand runs every tick in the reference but ConvexMPC
+    # consumes the raw gamepad command (GaitCtrller.cpp:105,125); kept for
+    # API parity and external consumers of the filtered 12-dim state
+    dsc, _state_des = desired_state.convert_to_state_commands(
+        state.dsc, jnp.concatenate([gamepad, jnp.zeros(1, jnp.float32)]), cfg.dt
+    )
     loco = _setup_command(cfg, core.locomotion, gamepad, se.rpy)
     loco, params, gait_number, omni = _select_gait(cfg, loco, cmd)
 
@@ -300,7 +308,7 @@ def control_tick(cfg: FrameworkConfig, state: FullControllerState,
 
     core = core.replace(estimator=est, locomotion=loco, safety_ok=safety_ok,
                         gamepad=gamepad)
-    state = state.replace(core=core, prev_leg=leg)
+    state = state.replace(core=core, prev_leg=leg, dsc=dsc)
 
     ctx = dict(
         se=se,

@@ -1,0 +1,46 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quadruped_ctrl_tpu.sim import camera
+from quadruped_ctrl_tpu.sim.terrain import Terrain
+
+
+def test_depth_render_flat_ground():
+    terrain = Terrain.plane()
+    p = jnp.array([0.0, 0.0, 0.3], jnp.float32)
+    quat = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    depth, dirs, eye = jax.jit(
+        lambda: camera.render_depth(terrain, p, quat)
+    )()
+    depth = np.asarray(depth)
+    assert depth.shape == (camera.HEIGHT, camera.WIDTH)
+    # looking 30 deg below the horizon from 0.3 m: depth ~ 0.3/0.5 = 0.6
+    center = depth[camera.HEIGHT // 2, camera.WIDTH // 2]
+    assert 0.4 < center < 0.9
+    # rays toward the horizon (top rows) travel farther than center
+    assert depth[0].mean() > depth[camera.HEIGHT // 2].mean()
+
+
+def test_point_cloud_on_ground():
+    terrain = Terrain.plane()
+    p = jnp.array([0.0, 0.0, 0.3], jnp.float32)
+    quat = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    pts, valid = jax.jit(lambda: camera.point_cloud(terrain, p, quat))()
+    pts = np.asarray(pts)[np.asarray(valid)]
+    assert len(pts) > 100
+    # points lie on the ground plane (within marching resolution)
+    assert np.abs(pts[:, 2]).max() < 0.12
+    # and in front of the robot
+    assert pts[:, 0].min() > 0.0
+
+
+def test_point_cloud_sees_stairs():
+    terrain = Terrain.stairs(depth=0.2, height=0.05, x0=0.4)
+    p = jnp.array([0.0, 0.0, 0.35], jnp.float32)
+    quat = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    pts, valid = jax.jit(lambda: camera.point_cloud(terrain, p, quat))()
+    pts = np.asarray(pts)[np.asarray(valid)]
+    ahead = pts[pts[:, 0] > 0.45]
+    assert len(ahead) > 10
+    assert ahead[:, 2].max() > 0.03  # the step is visible
