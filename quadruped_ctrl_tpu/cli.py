@@ -147,6 +147,26 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_latency(args):
+    import bench_latency
+
+    bench_latency.main()
+    return 0
+
+
+def cmd_scaling(args):
+    import json
+
+    from quadruped_ctrl_tpu.parallel import multihost
+
+    cfg = load_config(args.config)
+    rep = multihost.scaling_report(
+        cfg, per_device_batch=args.per_device_batch, reps=args.reps
+    )
+    print(json.dumps(rep))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="quadruped_ctrl_tpu")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -178,6 +198,15 @@ def main(argv=None):
 
     s = sub.add_parser("bench", help="MPC solves/s benchmark")
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("latency", help="control-cycle latency benchmark")
+    s.set_defaults(fn=cmd_latency)
+
+    s = sub.add_parser("scaling", help="multi-device scaling-efficiency report")
+    s.add_argument("--per-device-batch", type=int, default=256)
+    s.add_argument("--reps", type=int, default=3)
+    s.add_argument("--config", default=None)
+    s.set_defaults(fn=cmd_scaling)
 
     args = ap.parse_args(argv)
     return args.fn(args)
