@@ -94,7 +94,7 @@ class SolverConfig:
     rho_equality_scale: float = 1e3
     rho_infty: float = 1e-6
     over_relax_alpha: float = 1.6
-    iterations: int = 50          # fixed iteration count for batched solves
+    iterations: int = 40          # fixed iteration count for batched solves
     polish_rounds: int = 6        # active-set polish solves after ADMM
     ns_iters: int = 25            # Newton-Schulz iterations, cold start
     ns_warm_iters: int = 25       # NS iterations when warm-started (the

@@ -180,11 +180,10 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
     gp = grad.reshape(b // pack, pack * n_c)
     gaitp = gait_red.reshape(b // pack, pack * h, max_stance)
 
-    def solve_one(k, g, gt):
-        return admm.admm_mpc(cfg.solver, cfg.mpc, k, g, gt,
-                             iterations=iterations, polish_rounds=polish_rounds)
-
-    xp = jax.vmap(solve_one)(kp, gp, gaitp)          # (B/pack, pack*n_c)
+    xp = admm.admm_mpc_batched(
+        cfg.solver, cfg.mpc, kp, gp, gaitp,
+        iterations=iterations, polish_rounds=polish_rounds,
+    )                                                 # (B/pack, pack*n_c)
     x_red = xp.reshape(b, n_c)
     return jax.vmap(lambda xr, fi: formation.scatter_forces(xr, fi, h))(
         x_red, foot_idx

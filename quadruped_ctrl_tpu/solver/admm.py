@@ -295,3 +295,161 @@ def admm_mpc(
         x = _polish(cfg, build_solver, apply_a, apply_at, grad_n, l, u,
                     finite_u, x, z, y, polish_rounds)
     return x * f_scale
+
+
+# ---------------------------------------------------------------------------
+# Explicitly-batched MPC solve (the bench/production hot path).
+#
+# The per-scenario admm_mpc under vmap lets XLA batch everything, but the
+# KKT factorizations then run as XLA batched matmuls that re-stream HBM
+# every Newton-Schulz step. This variant carries the batch axis explicitly
+# so the factorization can dispatch to the VMEM-resident Pallas kernel
+# (ops/ns_inverse.py): ~1.5x on the dominant phase, and higher accuracy
+# (in-kernel HIGHEST matmuls reach resid ~3e-7 vs ~5e-6).
+
+def _batched_solver(k, ns_iters: int, use_pallas: bool):
+    """k: (B,n,n) SPD -> solve(b_vec (B,n)) -> (B,n), Jacobi-prescaled with
+    iterative refinement."""
+    n = k.shape[-1]
+    d = lax.rsqrt(jnp.maximum(jnp.diagonal(k, axis1=-2, axis2=-1), 1e-30))
+    ks = k * d[:, :, None] * d[:, None, :]
+    if use_pallas:
+        from quadruped_ctrl_tpu.ops import ns_inverse as NI
+
+        b = ks.shape[0]
+        ksp = NI.pad_to_128(ks, n)
+        pad_b = (-b) % NI.G
+        if pad_b:
+            ksp = jnp.concatenate(
+                [ksp, jnp.broadcast_to(jnp.eye(NI.N, dtype=jnp.float32),
+                                       (pad_b, NI.N, NI.N))], axis=0
+            )
+        inv = NI.ns_inverse_pallas_blocked(ksp, ns_iters)[:b, :n, :n]
+    else:
+        inv = jax.vmap(lambda m: _ns_inverse(m, ns_iters))(ks)
+
+    def solve(b_vec, refine: int = 2):
+        bs = d * b_vec
+        x = jnp.einsum("bij,bj->bi", inv, bs, precision=_HI)
+        for _ in range(refine):
+            r = bs - jnp.einsum("bij,bj->bi", ks, x, precision=_HI)
+            x = x + jnp.einsum("bij,bj->bi", inv, r, precision=_HI)
+        return d * x
+
+    return solve
+
+
+def admm_mpc_batched(
+    cfg: SolverConfig,
+    cfg_mpc: MPCConfig,
+    hess,            # (B, n, n) with n = 3*nf*h
+    grad,            # (B, n)
+    gait_table,      # (B, h, nf)
+    iterations: int | None = None,
+    polish_rounds: int | None = None,
+    use_pallas: bool | None = None,
+):
+    """Batch-axis-explicit admm_mpc. Returns forces (B, n)."""
+    n_iter = cfg.iterations if iterations is None else iterations
+    polish_rounds = cfg.polish_rounds if polish_rounds is None else polish_rounds
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    bsz, h, nf = gait_table.shape
+    n = 3 * nf * h
+    dtype = hess.dtype
+
+    f_scale = jnp.asarray(cfg_mpc.f_max, dtype)
+    hess_n = hess * (f_scale * f_scale)
+    grad_n = grad * f_scale
+
+    big = jnp.asarray(cfg_mpc.big_number, dtype)
+    u3 = jnp.broadcast_to(big, (bsz, h, nf, 5)).copy()
+    u3 = u3.at[..., 4].set(gait_table * (cfg_mpc.f_max / f_scale))
+    l = jnp.zeros((bsz, h * nf * 5), dtype)
+    u = u3.reshape(bsz, -1)
+    rho = constraint_rho(cfg, l, u)
+
+    eye = jnp.eye(n, dtype=dtype)
+    sel = jnp.eye(h * nf, dtype=dtype)
+
+    def build_solver(w):
+        gram = formation.pyramid_gram(cfg_mpc, w.reshape(bsz, h, nf, 5))
+        gram = gram.reshape(bsz, h * nf, 3, 3)
+        delta = (
+            gram[:, :, :, None, :] * sel[None, :, None, :, None]
+        ).reshape(bsz, n, n)
+        k = hess_n + cfg.sigma * eye[None] + delta
+        return _batched_solver(k, cfg.ns_iters, use_pallas)
+
+    def apply_a(v):
+        return formation.pyramid_apply(
+            cfg_mpc, v.reshape(bsz, h, nf, 3)
+        ).reshape(bsz, -1)
+
+    def apply_at(wv):
+        return formation.pyramid_apply_t(
+            cfg_mpc, wv.reshape(bsz, h, nf, 5)
+        ).reshape(bsz, -1)
+
+    # ---- ADMM iterations (batched) ----
+    alpha = cfg.over_relax_alpha
+    sigma = cfg.sigma
+    inv_rho = 1.0 / rho
+    solve0 = build_solver(rho)
+
+    def body(carry, _):
+        x, z, y = carry
+        rhs = sigma * x - grad_n + apply_at(rho * z - y)
+        # inexact solves are fine inside ADMM (it is a fixed-point iteration);
+        # refinement is reserved for the polish solves where accuracy matters
+        x_t = solve0(rhs, refine=0)
+        z_t = apply_a(x_t)
+        x_new = alpha * x_t + (1.0 - alpha) * x
+        z_relax = alpha * z_t + (1.0 - alpha) * z
+        z_new = jnp.clip(z_relax + inv_rho * y, l, u)
+        y_new = y + rho * (z_relax - z_new)
+        return (x_new, z_new, y_new), None
+
+    init = (0.0 * grad_n, (0.0 * rho).astype(dtype), (0.0 * rho).astype(dtype))
+    (x, z, y), _ = lax.scan(body, init, None, length=n_iter)
+
+    # ---- polish (batched, AL dual correction) ----
+    finite_u = u < cfg.infty
+    w_act = 1e4
+    lo_act = (z - l) < 1e-4
+    hi_act = finite_u & ((u - z) < 1e-4)
+
+    def viol(v):
+        av = apply_a(v)
+        per_row = jnp.maximum(l - av, jnp.where(finite_u, av - u, -1.0))
+        return jnp.max(per_row, axis=-1)                      # (B,)
+
+    def one_round(best_x, best_v, lo, hi, y_al):
+        act = lo | hi
+        bound = jnp.where(lo, l, jnp.where(hi & finite_u, u, 0.0))
+        w = jnp.where(act, w_act, 0.0)
+        solve = build_solver(w)
+        y_act = jnp.where(act, y_al, 0.0)
+        x_p = solve(-grad_n + apply_at(w * bound - y_act))
+        ax = apply_a(x_p)
+        y_new = y_act + w * (ax - bound)
+        finite_p = jnp.all(jnp.isfinite(x_p), axis=-1)        # (B,)
+        v_p = jnp.where(finite_p, viol(x_p), jnp.inf)
+        take = (v_p < best_v)[:, None]
+        best_x = jnp.where(take, x_p, best_x)
+        best_v = jnp.minimum(v_p, best_v)
+        lo = (lo & (y_new <= 1e-9)) | (ax < l - 1e-6)
+        hi = (hi & (y_new >= -1e-9)) | (finite_u & (ax > u + 1e-6))
+        y_al = jnp.where(lo | hi, y_new, 0.0)
+        return best_x, best_v, lo, hi, y_al
+
+    if polish_rounds > 0:
+        y_seed = jnp.where(lo_act | hi_act, y, 0.0)
+        carry = one_round(x, jnp.maximum(viol(x), 0.0), lo_act, hi_act, y_seed)
+
+        def round_body(carry, _):
+            return one_round(*carry), None
+
+        (x, _, _, _, _), _ = lax.scan(round_body, carry, None,
+                                      length=max(polish_rounds - 1, 0))
+    return x * f_scale
