@@ -58,3 +58,24 @@ def convert_to_state_commands(state: DesiredStateCommandState, gamepad, dt):
         DesiredStateCommandState(left_stick=left_f, right_stick=right_f),
         des,
     )
+
+
+def desired_state_trajectory(state_des, dt_vec):
+    """Linear desired-state extrapolation over N future steps.
+
+    Re-derivation of DesiredStateCommand::desiredStateTrajectory
+    (DesiredStateCommand.cpp:106-160; defined but never called from the
+    reference's run path). state_des: (12,), dt_vec: (N,) per-step dts.
+    Returns (N, 12) with positions/angles integrated by their rates.
+    """
+    def step(s, dt):
+        a = jnp.eye(12, dtype=s.dtype)
+        a = a.at[0, 6].set(dt).at[1, 7].set(dt).at[2, 8].set(dt)
+        a = a.at[3, 9].set(dt).at[4, 10].set(dt).at[5, 11].set(dt)
+        s2 = a @ s
+        return s2, s2
+
+    import jax
+
+    _, traj = jax.lax.scan(step, state_des, dt_vec)
+    return traj

@@ -204,3 +204,47 @@ def aio_params(v_body, yaw_rate, prev: GaitParams, phase, h_max: int):
     counter_reset = at_boundary & (new.h != prev.h)
     gait_number = jnp.where(at_boundary, gait_number, jnp.asarray(9, jnp.int32))
     return new, gait_number, counter_reset
+
+
+# ---------------------------------------------------------------------------
+# MixedFrequencyGait: per-leg independent periods + duty cycle. The reference
+# defines it (Gait.cpp:43-51, 81-95, 125-139, 168-184, 195-205) but
+# instantiates it nowhere (instances commented out,
+# ConvexMPCLocomotion.h:148); provided for capability parity.
+
+def mixed_phase_of(iteration_counter, iterations_per_mpc, periods):
+    """Per-leg phase in [0,1). periods: (4,) int32 segments per leg."""
+    denom = iterations_per_mpc * periods
+    return (iteration_counter % denom).astype(jnp.float32) / denom.astype(
+        jnp.float32
+    )
+
+
+def mixed_contact_state(phase, duty_cycle):
+    progress = jnp.where(phase < 0, phase + 1.0, phase)
+    return jnp.where(progress > duty_cycle, 0.0, progress / duty_cycle)
+
+
+def mixed_swing_state(phase, duty_cycle):
+    progress = phase - duty_cycle
+    return jnp.where(progress < 0, 0.0, progress / (1.0 - duty_cycle))
+
+
+def mixed_mpc_table(iteration_counter, iterations_per_mpc, periods,
+                    duty_cycle, h_max: int):
+    """(h_max, 4) contact table (Gait.cpp:168-184)."""
+    seg = iteration_counter // iterations_per_mpc
+    i = jnp.arange(h_max, dtype=jnp.int32)[:, None]
+    progress = (i + seg + 1) % periods[None, :]
+    return (progress.astype(jnp.float32)
+            < periods[None, :].astype(jnp.float32) * duty_cycle).astype(
+        jnp.float32
+    )
+
+
+def mixed_swing_time(dt_mpc, periods, duty_cycle):
+    return dt_mpc * (1.0 - duty_cycle) * periods.astype(jnp.float32)
+
+
+def mixed_stance_time(dt_mpc, periods, duty_cycle):
+    return dt_mpc * duty_cycle * periods.astype(jnp.float32)
