@@ -8,7 +8,7 @@ Each "solve" is the full reference-equivalent MPC pipeline for one scenario:
 SRB linearization, exact nilpotent discretization, condensed A_qp/B_qp
 stacking, stance-compressed H/g assembly (the reference's swing-variable
 elimination as a static one-hot contraction), pair-packed block-diagonal
-KKT systems, 50 ADMM iterations + 6 active-set polish rounds (7
+KKT systems, 100 ADMM iterations + 6 active-set polish rounds (7
 Newton-Schulz KKT factorizations), i.e. everything between
 update_problem_data_floats and get_solution in the reference
 (convexMPC_interface.cpp:121-180).

@@ -94,12 +94,22 @@ class SolverConfig:
     rho_equality_scale: float = 1e3
     rho_infty: float = 1e-6
     over_relax_alpha: float = 1.6
-    iterations: int = 40          # fixed iteration count for batched solves
+    iterations: int = 100         # fixed iteration count for batched solves
+                                  # (100 + 6 polish rounds solves hard
+                                  # cone-binding instances exactly; 40 left
+                                  # ~18 N violations on them)
     polish_rounds: int = 6        # active-set polish solves after ADMM
     ns_iters: int = 25            # Newton-Schulz iterations, cold start
     ns_warm_iters: int = 25       # NS iterations when warm-started (the
                                   # active set changes between polish rounds
                                   # invalidate warm starts more often than not)
+    # Pallas scaled mixed-precision NS schedule (ops/ns_inverse.py):
+    # scaled bf16x3 iterations, quadratic bf16x3, HIGHEST-precision tail,
+    # and the worst-case spectrum lower bound the mu schedule assumes.
+    ns_scaled_iters: int = 9
+    ns_quad_iters: int = 2
+    ns_hi_iters: int = 2
+    ns_a0: float = 1e-5
     infty: float = 1e10
     eql_tol: float = 1e-9
 

@@ -129,6 +129,122 @@ def ns_inverse_pallas_blocked(ks, iters: int = 25):
     )(ks)
 
 
+# ---------------------------------------------------------------------------
+# Mixed-precision scaled Newton-Schulz.
+#
+# Two orthogonal accelerations over the plain HIGHEST-precision kernel,
+# together ~2x (37.9 ms vs 76.7 ms at batch 2048 on one v5e, same 1.4e-4
+# residual):
+#
+# 1. *bf16x3 matmuls.* HIGHEST f32 on the MXU costs 6 bf16 passes; splitting
+#    each operand into bf16 hi+lo parts and summing the three significant
+#    cross products (hi*hi + hi*lo + lo*hi) costs 3 passes at ~1e-6 relative
+#    error. NS is self-correcting, so all but the last couple of iterations
+#    tolerate this; a short HIGHEST tail then squares the error down to the
+#    f32 floor. (Pure bf16 diverges: cond ~4e3 times bf16's 0.8% rounding
+#    exceeds the ||I - KX|| < 1 convergence region.)
+#
+# 2. *Scaled iterations.* Cold-start NS spends most iterations doubling the
+#    smallest eigenvalue of KX toward 1 (residual 1-a -> (1-a)^2, i.e.
+#    a -> 2a). With the spectrum in [a, 1], the scaled step
+#    X <- mu X (2I - mu K X), mu = 2/(1+a), maps the interval to
+#    [~4a/(1+a)^2, 1] — the lower bound *quadruples* per iteration. A fixed
+#    mu schedule derived from a worst-case a0 (underestimating a0 is safe,
+#    merely suboptimal) reaches the quadratic phase in half the iterations:
+#    9 scaled + 2 quadratic bf16x3 + 2 HIGHEST = 13 total vs 25.
+
+_BF16 = jnp.bfloat16
+
+
+def _split(a):
+    """f32 -> (bf16 hi, bf16 lo) with a ~= hi + lo."""
+    hi = a.astype(_BF16)
+    lo = (a - hi.astype(jnp.float32)).astype(_BF16)
+    return hi, lo
+
+
+def _mm3(a_hi, a_lo, b):
+    """bf16x3 matmul (XLA's Precision.HIGH, which Pallas doesn't expose):
+    3 MXU passes with f32 accumulation, ~1e-6 relative error."""
+    b_hi, b_lo = _split(b)
+    dn = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=jnp.float32)
+    return acc
+
+
+def mu_schedule(a0: float, n_scaled: int):
+    """Fixed scaling factors for the interval-[a,1] phase (host-side floats;
+    baked into the kernel as constants)."""
+    mus = []
+    a = a0
+    for _ in range(n_scaled):
+        mu = 2.0 / (1.0 + a)
+        mus.append(mu)
+        a = min(mu * a * (2.0 - mu * a), mu * (2.0 - mu))
+    return mus
+
+
+def _kernel_scaled(mus, n_quad: int, n_hi: int, k_ref, out_ref):
+    eye = jnp.eye(N, dtype=jnp.float32)
+    for g in range(G):
+        k = k_ref[g]
+        k_hi, k_lo = _split(k)
+        alpha = 1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=-1))
+        x = alpha * eye
+
+        for mu in mus:                       # scaled, bf16x3
+            kx = _mm3(k_hi, k_lo, x)
+            x_hi, x_lo = _split(x)
+            x = mu * _mm3(x_hi, x_lo, 2.0 * eye - mu * kx)
+
+        def quad_body(_, x):                 # quadratic, bf16x3
+            kx = _mm3(k_hi, k_lo, x)
+            x_hi, x_lo = _split(x)
+            return _mm3(x_hi, x_lo, 2.0 * eye - kx)
+
+        x = jax.lax.fori_loop(0, n_quad, quad_body, x)
+
+        def hi_body(_, x):                   # quadratic, HIGHEST tail
+            kx = jax.lax.dot_general(
+                k, x, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return jax.lax.dot_general(
+                x, 2.0 * eye - kx, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        out_ref[g] = jax.lax.fori_loop(0, n_hi, hi_body, x)
+
+
+def ns_inverse_pallas_scaled(ks, a0: float = 1e-5, n_scaled: int = 9,
+                             n_quad: int = 2, n_hi: int = 2):
+    """Scaled mixed-precision NS inverse. ks: (B, 128, 128) Jacobi-prescaled
+    SPD, B a multiple of G. Handles condition numbers up to ~1/a0; the
+    defaults carry 10x margin over the MPC KKT systems' measured ~4e3."""
+    b = ks.shape[0]
+    assert b % G == 0
+    total = n_scaled + n_quad + n_hi
+    return pl.pallas_call(
+        functools.partial(_kernel_scaled, mu_schedule(a0, n_scaled), n_quad, n_hi),
+        grid=(b // G,),
+        in_specs=[pl.BlockSpec((G, N, N), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, N, N), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, N, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * total * 2 * N**3,
+            bytes_accessed=2 * b * N * N * 4,
+            transcendentals=0,
+        ),
+    )(ks)
+
+
 def make_ns_inverse(iters: int = 25):
     """Returns a vmappable f(ks_128) -> inverse that dispatches to the
     blocked kernel under vmap."""

@@ -141,3 +141,35 @@ def test_vmapped_batch_solve():
         # boolean active-set decisions can flip on knife-edge rows, so only
         # near-agreement (well inside control tolerance) is guaranteed
         np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xi), atol=0.1)
+
+
+def test_binding_friction_cone_converges():
+    """One-sided rows (l=0, u=BIG) must get the regular rho, not rho_infty.
+
+    Regression: classifying rows as 'infinite' when EITHER side exceeds
+    infty gave every friction-pyramid row (u=5e10) a 1e-6 penalty; with a
+    binding cone the dual built up at 1e-6/iter and ADMM stalled ~500 N
+    infeasible (JCQP treats only rows unbounded on BOTH sides as loose,
+    QpProblem.cpp:276-291). A demanded lateral push far outside the cone
+    forces the cone rows active."""
+    rng = np.random.default_rng(7)
+    h = 4
+    hess, grad, fmat, l, u, gait = _mpc_qp(rng, h)
+    # crank the velocity-tracking gradient sideways: optimum slides to the
+    # friction-cone boundary
+    grad = grad + np.tile([60.0, 60.0, 0.0] * 4, h)
+    x_true = oracle.solve_mpc_qp_exact(hess, grad, gait, MPC.mu, MPC.f_max)
+    x = np.asarray(
+        _solve_mpc(
+            jnp.asarray(hess, jnp.float32),
+            jnp.asarray(grad, jnp.float32),
+            jnp.asarray(gait, jnp.float32),
+        ),
+        np.float64,
+    )
+    ax = fmat @ x
+    assert max(0.0, (ax - u).max(), (l - ax).max()) < 0.1
+    np.testing.assert_allclose(x[:12], x_true[:12], atol=0.8)
+    # the cone must actually bind for this to be a regression test
+    cone_rows = np.abs(ax[np.isclose(l, 0.0) & (u > 1e9)])
+    assert cone_rows.min() < 1e-3
