@@ -51,6 +51,7 @@ from quadruped_ctrl_tpu.gait import gait as gait_mod
 from quadruped_ctrl_tpu.mpc import formation
 from quadruped_ctrl_tpu.mpc.reference import build_reference
 from quadruped_ctrl_tpu.solver import admm
+from quadruped_ctrl_tpu.core.precision import exact_matmuls
 
 
 @struct.dataclass
@@ -179,6 +180,7 @@ def _select_gait(cfg: FrameworkConfig, loco: LocomotionState, cmd: Command):
     return loco, params, gait_number, omni
 
 
+@exact_matmuls
 def control_tick(cfg: FrameworkConfig, state: FullControllerState,
                  sensors: Sensors, cmd: Command):
     """Everything except the MPC solve. Returns (state, tick_ctx, output).
@@ -326,6 +328,7 @@ def control_tick(cfg: FrameworkConfig, state: FullControllerState,
     return state, ctx
 
 
+@exact_matmuls
 def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
                iterations: int | None = None):
     """Reference trajectory + formation + ADMM solve; updates f_ff/Fr_des.
@@ -387,6 +390,7 @@ def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
     return state.replace(core=core.replace(locomotion=loco))
 
 
+@exact_matmuls
 def leg_commands(cfg: FrameworkConfig, state: FullControllerState, ctx):
     """Swing/stance command writing + torque mapping + safety gate.
 
@@ -461,6 +465,7 @@ def leg_commands(cfg: FrameworkConfig, state: FullControllerState, ctx):
     return state, out
 
 
+@exact_matmuls
 def controller_step(cfg: FrameworkConfig, state: FullControllerState,
                     sensors: Sensors, cmd: Command,
                     mpc_iterations: int | None = None):
@@ -476,6 +481,7 @@ def controller_step(cfg: FrameworkConfig, state: FullControllerState,
     return leg_commands(cfg, state, ctx)
 
 
+@exact_matmuls
 def pre_work(cfg: FrameworkConfig, state: FullControllerState, sensors: Sensors):
     """Estimator warm-up tick: run estimators + leg-data update, no control
     (the reference's pre_work FFI call, GaitCtrller.cpp:58-63, used 10x at

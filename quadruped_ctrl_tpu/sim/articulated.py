@@ -24,6 +24,7 @@ from quadruped_ctrl_tpu.models import leg_kinematics as lk
 from quadruped_ctrl_tpu.models.floating_base import MiniCheetahModel
 from quadruped_ctrl_tpu.sim.engine import CROUCH_Q
 from quadruped_ctrl_tpu.sim.terrain import Terrain, height_at
+from quadruped_ctrl_tpu.core.precision import exact_matmuls
 
 
 @struct.dataclass
@@ -51,6 +52,7 @@ def articulated_init(cfg: FrameworkConfig, model: MiniCheetahModel,
     )
 
 
+@exact_matmuls
 def sensors_from_articulated(cfg: FrameworkConfig, st: ArticulatedState) -> Sensors:
     r = rot.quat_to_rot(st.quat)          # body->world
     v_world = r @ st.base_vel[3:6]
@@ -99,6 +101,7 @@ def _contact_forces(cfg: FrameworkConfig, model, st: ArticulatedState,
     return f_world, feet_world
 
 
+@exact_matmuls
 def articulated_step(cfg: FrameworkConfig, model: MiniCheetahModel,
                      st: ArticulatedState, tau_cmd, terrain: Terrain,
                      substeps: int = 4) -> ArticulatedState:
@@ -127,6 +130,7 @@ def articulated_step(cfg: FrameworkConfig, model: MiniCheetahModel,
     return st.replace(prev_v_world=prev_v_world)
 
 
+@exact_matmuls
 def run_articulated_session(cfg: FrameworkConfig, terrain: Terrain,
                             cmd, n_ticks: int, stand_ticks: int = 400,
                             model: MiniCheetahModel | None = None,

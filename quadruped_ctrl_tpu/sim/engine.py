@@ -29,6 +29,7 @@ from quadruped_ctrl_tpu.core import rotations as rot
 from quadruped_ctrl_tpu.core.types import ControllerOutput, Sensors
 from quadruped_ctrl_tpu.models import leg_kinematics as lk
 from quadruped_ctrl_tpu.sim.terrain import Terrain, height_at
+from quadruped_ctrl_tpu.core.precision import exact_matmuls
 
 CROUCH_Q = jnp.array([0.0, -0.8, 1.6], jnp.float32)  # walking_simulation.py:35
 
@@ -70,6 +71,7 @@ def sim_init(cfg: FrameworkConfig, terrain: Terrain) -> SimState:
     )
 
 
+@exact_matmuls
 def sensors_from_sim(cfg: FrameworkConfig, sim: SimState) -> Sensors:
     """Synthesize the reference's imu_data[10] + leg_data[24]
     (walking_simulation.py:521-573)."""
@@ -99,6 +101,7 @@ def sensors_from_sim(cfg: FrameworkConfig, sim: SimState) -> Sensors:
     )
 
 
+@exact_matmuls
 def sim_step(
     cfg: FrameworkConfig, sim: SimState, out: ControllerOutput, terrain: Terrain
 ) -> SimState:
