@@ -90,15 +90,21 @@ class SolverConfig:
     overrides the reference passes when use_jcqp is off."""
 
     sigma: float = 1e-6
-    rho: float = 1.0              # on the force-normalized problem (O(1) data)
+    rho: float = 30.0             # on the force-normalized problem; ~the
+                                  # geometric mean of the normalized MPC
+                                  # Hessian's diagonal spread (1..220), chosen
+                                  # on a 72-case hard battery (cone-binding
+                                  # pushes x {trot,stand,bound} x seeds):
+                                  # rho=1 left 48/72 cases >2 N off (worst
+                                  # 1968 N); rho=30 with 250 iters + 4 polish
+                                  # rounds solves all 72 to <1.4 N
     rho_equality_scale: float = 1e3
     rho_infty: float = 1e-6
     over_relax_alpha: float = 1.6
-    iterations: int = 100         # fixed iteration count for batched solves
-                                  # (100 + 6 polish rounds solves hard
-                                  # cone-binding instances exactly; 40 left
-                                  # ~18 N violations on them)
-    polish_rounds: int = 6        # active-set polish solves after ADMM
+    iterations: int = 250         # fixed iteration count for batched solves
+                                  # (with rho=30 + 4 polish rounds: 0/72 hard
+                                  # battery cases above 2 N; see rho note)
+    polish_rounds: int = 4        # active-set polish solves after ADMM
     ns_iters: int = 25            # Newton-Schulz iterations, cold start
     ns_warm_iters: int = 25       # NS iterations when warm-started (the
                                   # active set changes between polish rounds

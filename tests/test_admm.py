@@ -173,3 +173,59 @@ def test_binding_friction_cone_converges():
     # the cone must actually bind for this to be a regression test
     cone_rows = np.abs(ax[np.isclose(l, 0.0) & (u > 1e9)])
     assert cone_rows.min() < 1e-3
+
+
+@pytest.mark.parametrize("gait_kind", [0, 1, 2])
+def test_hard_battery_cone_pushes(gait_kind):
+    """Aggressive-push battery: random lateral gradient pushes force large
+    chunks of the friction pyramid active across trot/stand/bound tables.
+    With rho=1 this left ~2/3 of cases >2 N from the oracle (worst 1968 N);
+    the production defaults (rho=30, 250 iterations, 4 polish rounds) must
+    keep every case within control tolerance."""
+    h = 10
+    fmat = oracle.pyramid_matrix(MPC.mu, h)
+    for seed in range(2):
+        for push in (0.0, 40.0, 80.0):
+            rng = np.random.default_rng(seed)
+            r_feet = rng.uniform(-0.25, 0.25, (4, 3))
+            r_feet[:, 2] = -0.28
+            yaw = float(rng.uniform(-0.5, 0.5))
+            a_ct, b_ct = oracle.ct_ss_mats(
+                np.array(MPC.inertia), MPC.mass, r_feet, yaw, 0.0
+            )
+            _, _, a_qp, b_qp = oracle.c2qp(a_ct, b_ct, 0.026, h)
+            x0 = np.concatenate(
+                [rng.uniform(-0.05, 0.05, 3), [0, 0, 0.28],
+                 rng.uniform(-0.2, 0.2, 3), rng.uniform(-0.4, 0.4, 3), [-9.8]]
+            )
+            traj = np.tile(
+                np.array([0, 0, yaw, 0, 0, 0.25, 0, 0, 0, 0.4, 0, 0.0]), (h, 1)
+            )
+            hess, grad = oracle.qp_cost(
+                a_qp, b_qp, np.array(MPC.weights), MPC.alpha, x0, traj, h
+            )
+            th = rng.uniform(0, 2 * np.pi)
+            grad = grad + np.tile(
+                [push * np.cos(th), push * np.sin(th), 0.0] * 4, h
+            )
+            gait = np.zeros((h, 4))
+            pairs = {0: ([0, 3], [1, 2]), 2: ([0, 1], [2, 3])}
+            if gait_kind == 1:
+                gait[:] = 1
+            else:
+                a_pair, b_pair = pairs[gait_kind]
+                for i in range(h):
+                    gait[i, a_pair if (i // (h // 2)) % 2 == 0 else b_pair] = 1
+            x_true = oracle.solve_mpc_qp_exact(hess, grad, gait, MPC.mu, MPC.f_max)
+            x = np.asarray(
+                _solve_mpc(
+                    jnp.asarray(hess, jnp.float32),
+                    jnp.asarray(grad, jnp.float32),
+                    jnp.asarray(gait, jnp.float32),
+                ),
+                np.float64,
+            )
+            l, u = oracle.pyramid_bounds(gait, MPC.f_max, MPC.big_number, h)
+            ax = fmat @ x
+            assert max(0.0, (ax - u).max(), (l - ax).max()) < 0.1, (seed, push)
+            np.testing.assert_allclose(x, x_true, atol=2.0)
