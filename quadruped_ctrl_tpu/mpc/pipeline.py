@@ -137,7 +137,8 @@ def solve_compressed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
 def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
                        max_stance: int = 2, pack: int = 2,
                        h: int | None = None, iterations: int | None = None,
-                       polish_rounds: int | None = None):
+                       polish_rounds: int | None = None,
+                       use_fused: bool | None = None):
     """Stance-compressed + pair-packed batched solve.
 
     Two (or `pack`) compressed scenarios are packed into one block-diagonal
@@ -180,7 +181,14 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
     gp = grad.reshape(b // pack, pack * n_c)
     gaitp = gait_red.reshape(b // pack, pack * h, max_stance)
 
-    xp = admm.admm_mpc_batched(
+    # The fused single-kernel solver (ops/fused_admm.py) is opt-in: it is
+    # differential-tested correct, but its per-system sequential iterate
+    # phase loses to the XLA batched path on v5e (13k vs 31k solves/s) —
+    # per-system 128-dim matvecs cannot keep the MXU busy.
+    if use_fused is None:
+        use_fused = False
+    solver_fn = admm.admm_mpc_fused if use_fused else admm.admm_mpc_batched
+    xp = solver_fn(
         cfg.solver, cfg.mpc, kp, gp, gaitp,
         iterations=iterations, polish_rounds=polish_rounds,
     )                                                 # (B/pack, pack*n_c)

@@ -337,8 +337,16 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool):
     else:
         inv = jax.vmap(lambda m: _ns_inverse(m, cfg.ns_iters))(ks)
 
-    def solve(b_vec, refine: int = 2):
+    inv16 = inv.astype(jnp.bfloat16)
+
+    def solve(b_vec, refine: int = 2, lowp: bool = False):
         bs = d * b_vec
+        if lowp:
+            # bf16 inverse matvec: half the HBM stream; only used for the
+            # bulk ADMM iterations, never where the result is read out
+            x = jnp.einsum("bij,bj->bi", inv16, bs.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            return d * x
         x = jnp.einsum("bij,bj->bi", inv, bs, precision=_HI)
         for _ in range(refine):
             r = bs - jnp.einsum("bij,bj->bi", ks, x, precision=_HI)
@@ -346,6 +354,91 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool):
         return d * x
 
     return solve
+
+
+def _pyramid_dense(mu: float, h: int, nf: int):
+    """Dense (5*h*nf, 3*h*nf) friction-pyramid matrix (SolverMPC.cpp:352-364),
+    as a numpy constant (shapes are static under jit)."""
+    import numpy as np
+
+    mu_inv = 1.0 / mu
+    block = np.array(
+        [[mu_inv, 0, 1], [-mu_inv, 0, 1], [0, mu_inv, 1], [0, -mu_inv, 1],
+         [0, 0, 1]], dtype=np.float32
+    )
+    n_blk = h * nf
+    a = np.zeros((5 * n_blk, 3 * n_blk), dtype=np.float32)
+    for i in range(n_blk):
+        a[5 * i : 5 * i + 5, 3 * i : 3 * i + 3] = block
+    return a
+
+
+def admm_mpc_fused(
+    cfg: SolverConfig,
+    cfg_mpc: MPCConfig,
+    hess,            # (B, n, n) with n = 3*nf*h
+    grad,            # (B, n)
+    gait_table,      # (B, h, nf)
+    iterations: int | None = None,
+    polish_rounds: int | None = None,
+):
+    """admm_mpc_batched semantics via the single VMEM-resident Pallas kernel
+    (ops/fused_admm.py): KKT build + NS factorization + every ADMM iteration
+    + every polish round run in-kernel, so the (B,n,n) inverse never
+    round-trips HBM per iteration. TPU only; the XLA path remains the CPU /
+    differential-test reference. Returns forces (B, n)."""
+    from quadruped_ctrl_tpu.ops import fused_admm as FA
+
+    n_iter = cfg.iterations if iterations is None else iterations
+    polish_rounds = cfg.polish_rounds if polish_rounds is None else polish_rounds
+    bsz, h, nf = gait_table.shape
+    n = 3 * nf * h
+    m = 5 * nf * h
+    assert n <= FA.N and m <= FA.M
+    dtype = hess.dtype
+
+    f_scale = jnp.asarray(cfg_mpc.f_max, dtype)
+    hess_n = hess * (f_scale * f_scale)
+    grad_n = grad * f_scale
+
+    big = jnp.asarray(cfg_mpc.big_number, dtype)
+    u3 = jnp.broadcast_to(big, (bsz, h, nf, 5)).copy()
+    u3 = u3.at[..., 4].set(gait_table * (cfg_mpc.f_max / f_scale))
+    l = jnp.zeros((bsz, m), dtype)
+    u = u3.reshape(bsz, -1)
+    rho = constraint_rho(cfg, l, u)
+
+    # pad to kernel tiles: variables -> N (identity diagonal), rows -> M
+    # (zero A rows with l=u=0, rho=1: z pins to 0, duals stay 0 — inert)
+    hp = jnp.zeros((bsz, FA.N, FA.N), jnp.float32)
+    hp = hp.at[:, :n, :n].set(hess_n)
+    idx = jnp.arange(n, FA.N)
+    hp = hp.at[:, idx, idx].set(1.0)
+    gp = jnp.zeros((bsz, FA.N), jnp.float32).at[:, :n].set(grad_n)
+    lp = jnp.zeros((bsz, FA.M), jnp.float32).at[:, :m].set(l)
+    up = jnp.zeros((bsz, FA.M), jnp.float32).at[:, :m].set(u)
+    rp = jnp.ones((bsz, FA.M), jnp.float32).at[:, :m].set(rho)
+    a_pad = jnp.zeros((FA.M, FA.N), jnp.float32)
+    a_pad = a_pad.at[:m, :n].set(jnp.asarray(_pyramid_dense(cfg_mpc.mu, h, nf)))
+
+    pad_b = (-bsz) % FA.G
+    if pad_b:
+        ident = jnp.broadcast_to(jnp.eye(FA.N, dtype=jnp.float32),
+                                 (pad_b, FA.N, FA.N))
+        hp = jnp.concatenate([hp, ident], axis=0)
+        gp = jnp.concatenate([gp, jnp.zeros((pad_b, FA.N), jnp.float32)], axis=0)
+        lp = jnp.concatenate([lp, jnp.zeros((pad_b, FA.M), jnp.float32)], axis=0)
+        up = jnp.concatenate([up, jnp.zeros((pad_b, FA.M), jnp.float32)], axis=0)
+        rp = jnp.concatenate([rp, jnp.ones((pad_b, FA.M), jnp.float32)], axis=0)
+
+    x = FA.fused_admm_solve(
+        a_pad, hp, gp, lp, up, rp,
+        mus_a0=cfg.ns_a0, n_scaled=cfg.ns_scaled_iters,
+        n_quad=cfg.ns_quad_iters, n_hi=cfg.ns_hi_iters,
+        n_iter=n_iter, polish_rounds=polish_rounds, sigma=cfg.sigma,
+        alpha_rx=cfg.over_relax_alpha, infty=cfg.infty,
+    )
+    return x[:bsz, :n] * f_scale
 
 
 def admm_mpc_batched(
@@ -406,21 +499,27 @@ def admm_mpc_batched(
     inv_rho = 1.0 / rho
     solve0 = build_solver(rho)
 
-    def body(carry, _):
-        x, z, y = carry
-        rhs = sigma * x - grad_n + apply_at(rho * z - y)
-        # inexact solves are fine inside ADMM (it is a fixed-point iteration);
-        # refinement is reserved for the polish solves where accuracy matters
-        x_t = solve0(rhs, refine=0)
-        z_t = apply_a(x_t)
-        x_new = alpha * x_t + (1.0 - alpha) * x
-        z_relax = alpha * z_t + (1.0 - alpha) * z
-        z_new = jnp.clip(z_relax + inv_rho * y, l, u)
-        y_new = y + rho * (z_relax - z_new)
-        return (x_new, z_new, y_new), None
+    def mk_body(lowp):
+        def body(carry, _):
+            x, z, y = carry
+            rhs = sigma * x - grad_n + apply_at(rho * z - y)
+            # inexact solves are fine inside ADMM (a fixed-point iteration);
+            # refinement is reserved for the polish solves. The bulk of the
+            # iterations additionally uses the bf16 inverse (HBM-bound
+            # phase); the f32 tail re-contracts to the exact fixed point.
+            x_t = solve0(rhs, refine=0, lowp=lowp)
+            z_t = apply_a(x_t)
+            x_new = alpha * x_t + (1.0 - alpha) * x
+            z_relax = alpha * z_t + (1.0 - alpha) * z
+            z_new = jnp.clip(z_relax + inv_rho * y, l, u)
+            y_new = y + rho * (z_relax - z_new)
+            return (x_new, z_new, y_new), None
+        return body
 
     init = (0.0 * grad_n, (0.0 * rho).astype(dtype), (0.0 * rho).astype(dtype))
-    (x, z, y), _ = lax.scan(body, init, None, length=n_iter)
+    tail = min(cfg.f32_tail_iters, n_iter) if use_pallas else n_iter
+    carry, _ = lax.scan(mk_body(True), init, None, length=n_iter - tail)
+    (x, z, y), _ = lax.scan(mk_body(False), carry, None, length=tail)
 
     # ---- polish (batched, AL dual correction) ----
     finite_u = u < cfg.infty
