@@ -319,6 +319,7 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool):
     n = k.shape[-1]
     d = lax.rsqrt(jnp.maximum(jnp.diagonal(k, axis1=-2, axis2=-1), 1e-30))
     ks = k * d[:, :, None] * d[:, None, :]
+    inv_padded = None
     if use_pallas:
         from quadruped_ctrl_tpu.ops import ns_inverse as NI
 
@@ -330,10 +331,11 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool):
                 [ksp, jnp.broadcast_to(jnp.eye(NI.N, dtype=jnp.float32),
                                        (pad_b, NI.N, NI.N))], axis=0
             )
-        inv = NI.ns_inverse_pallas_scaled(
+        inv_padded = NI.ns_inverse_pallas_scaled(
             ksp, cfg.ns_a0, cfg.ns_scaled_iters, cfg.ns_quad_iters,
             cfg.ns_hi_iters,
-        )[:b, :n, :n]
+        )[:b]
+        inv = inv_padded[:, :n, :n]
     else:
         inv = jax.vmap(lambda m: _ns_inverse(m, cfg.ns_iters))(ks)
 
@@ -353,6 +355,8 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool):
             x = x + jnp.einsum("bij,bj->bi", inv, r, precision=_HI)
         return d * x
 
+    solve.inv_padded = inv_padded     # (B,128,128) Jacobi-scaled, or None
+    solve.scale = d                   # (B,n)
     return solve
 
 
@@ -499,27 +503,89 @@ def admm_mpc_batched(
     inv_rho = 1.0 / rho
     solve0 = build_solver(rho)
 
-    def mk_body(lowp):
-        def body(carry, _):
-            x, z, y = carry
-            rhs = sigma * x - grad_n + apply_at(rho * z - y)
-            # inexact solves are fine inside ADMM (a fixed-point iteration);
-            # refinement is reserved for the polish solves. The bulk of the
-            # iterations additionally uses the bf16 inverse (HBM-bound
-            # phase); the f32 tail re-contracts to the exact fixed point.
-            x_t = solve0(rhs, refine=0, lowp=lowp)
-            z_t = apply_a(x_t)
-            x_new = alpha * x_t + (1.0 - alpha) * x
-            z_relax = alpha * z_t + (1.0 - alpha) * z
-            z_new = jnp.clip(z_relax + inv_rho * y, l, u)
-            y_new = y + rho * (z_relax - z_new)
-            return (x_new, z_new, y_new), None
-        return body
+    if use_pallas and solve0.inv_padded is not None:
+        # Tile-aligned iterate phase (profiled on v5e): the bf16 inverse
+        # matvec is this phase's HBM stream and XLA's multiply-reduce fusion
+        # already runs it at ~memory peak, but the structural pyramid applies
+        # lowered to hundreds of small concat/pad ops per scan step that cost
+        # 2.5x the matvec itself. Run the whole loop in (128, 256)-padded
+        # spaces with ONE dense shared-A matmul per apply (A is tiny and
+        # shared across the batch) and the Jacobi scale folded into the
+        # inverse. Padding is inert: zero A rows/cols with l=u=0, rho=1 pin
+        # the padded z/y/x entries to ~0. A VMEM-resident Pallas iterate
+        # kernel was tried and LOSES here — with the inverse on-chip the
+        # per-system matvec becomes the floor, and both its lowerings
+        # (per-system MXU dots: weight-reload-bound; VPU multiply+reduce:
+        # shuffle-bound) sit above the streamed bf16 matvec.
+        m = 5 * nf * h
+        np_ = solve0.inv_padded.shape[-1]
+        mp_ = -(-m // 128) * 128
+        dp = jnp.ones((bsz, np_), dtype).at[:, :n].set(solve0.scale)
+        inv_fullp = solve0.inv_padded * (dp[:, :, None] * dp[:, None, :])
+        inv16p = inv_fullp.astype(jnp.bfloat16)
+        gradp = jnp.zeros((bsz, np_), dtype).at[:, :n].set(grad_n)
+        lP = jnp.zeros((bsz, mp_), dtype).at[:, :m].set(l)
+        uP = jnp.zeros((bsz, mp_), dtype).at[:, :m].set(u)
+        rhoP = jnp.ones((bsz, mp_), dtype).at[:, :m].set(rho)
+        inv_rhoP = 1.0 / rhoP
+        a_pad = jnp.zeros((mp_, np_), dtype)
+        a_pad = a_pad.at[:m, :n].set(
+            jnp.asarray(_pyramid_dense(cfg_mpc.mu, h, nf), dtype)
+        )
+        at_pad = a_pad.T
 
-    init = (0.0 * grad_n, (0.0 * rho).astype(dtype), (0.0 * rho).astype(dtype))
-    tail = min(cfg.f32_tail_iters, n_iter) if use_pallas else n_iter
-    carry, _ = lax.scan(mk_body(True), init, None, length=n_iter - tail)
-    (x, z, y), _ = lax.scan(mk_body(False), carry, None, length=tail)
+        def mk_body(lowp):
+            def body(carry, _):
+                x, z, y = carry                          # (B,128), (B,256)x2
+                rhs = sigma * x - gradp + jnp.matmul(
+                    rhoP * z - y, a_pad, precision=_HI)
+                if lowp:
+                    x_t = jnp.einsum(
+                        "bij,bj->bi", inv16p, rhs.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+                else:
+                    x_t = jnp.einsum("bij,bj->bi", inv_fullp, rhs,
+                                     precision=_HI)
+                z_t = jnp.matmul(x_t, at_pad, precision=_HI)
+                x_new = alpha * x_t + (1.0 - alpha) * x
+                z_relax = alpha * z_t + (1.0 - alpha) * z
+                z_new = jnp.clip(z_relax + inv_rhoP * y, lP, uP)
+                y_new = y + rhoP * (z_relax - z_new)
+                return (x_new, z_new, y_new), None
+            return body
+
+        init = (jnp.zeros((bsz, np_), dtype), jnp.zeros((bsz, mp_), dtype),
+                jnp.zeros((bsz, mp_), dtype))
+        tail = min(cfg.f32_tail_iters, n_iter)
+        carry, _ = lax.scan(mk_body(True), init, None, length=n_iter - tail)
+        (xp, zp, yp), _ = lax.scan(mk_body(False), carry, None, length=tail)
+        x = xp[:, :n]
+        z = zp[:, :m]
+        y = yp[:, :m]
+    else:
+        def mk_body(lowp):
+            def body(carry, _):
+                x, z, y = carry
+                rhs = sigma * x - grad_n + apply_at(rho * z - y)
+                # inexact solves are fine inside ADMM (a fixed-point
+                # iteration); refinement is reserved for the polish solves.
+                # The bulk of the iterations additionally uses the bf16
+                # inverse (HBM-bound phase); the f32 tail re-contracts to
+                # the exact fixed point.
+                x_t = solve0(rhs, refine=0, lowp=lowp)
+                z_t = apply_a(x_t)
+                x_new = alpha * x_t + (1.0 - alpha) * x
+                z_relax = alpha * z_t + (1.0 - alpha) * z
+                z_new = jnp.clip(z_relax + inv_rho * y, l, u)
+                y_new = y + rho * (z_relax - z_new)
+                return (x_new, z_new, y_new), None
+            return body
+
+        init = (0.0 * grad_n, (0.0 * rho).astype(dtype),
+                (0.0 * rho).astype(dtype))
+        tail = min(cfg.f32_tail_iters, n_iter) if use_pallas else n_iter
+        carry, _ = lax.scan(mk_body(True), init, None, length=n_iter - tail)
+        (x, z, y), _ = lax.scan(mk_body(False), carry, None, length=tail)
 
     # ---- polish (batched, AL dual correction) ----
     finite_u = u < cfg.infty
