@@ -1,0 +1,160 @@
+"""Differential tests against the UNMODIFIED reference C++ stack.
+
+The reference controller (/root/reference) is compiled as-is into a golden
+shared library (tests/build_reference.sh) and driven through its own
+extern "C" FFI (GaitCtrller.h:63-99) exactly the way walking_simulation.py
+drives it. Three layers of parity:
+
+1. QP level: the reference's dense condensed MPC (setup_problem ->
+   update_problem_data_floats -> get_solution, i.e. its formation + qpOASES
+   active-set solve) vs our formation + batched ADMM on IDENTICAL inputs —
+   deterministic, tight (GRF agreement to a few 0.1 N out of 120 N).
+2. Closed loop: the reference controller drives OUR articulated 18-DoF
+   plant (sim/articulated.py) through joint torques; it must stand and trot
+   stably — validating the plant against the controller it was derived from.
+3. Trace level: along that reference-driven trajectory, our controller
+   shadows the same sensor stream and must produce closely matching torques.
+   (Closed-loop trace comparison is chaos-limited: 1-ulp noise in XLA CPU
+   threaded reductions grows along the rollout, so thresholds here are
+   robust-aggregate, not bitwise. The bitwise-grade claim is layer 1.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from quadruped_ctrl_tpu.config import FrameworkConfig  # noqa: E402
+from quadruped_ctrl_tpu.control import controller as ctrl  # noqa: E402
+from quadruped_ctrl_tpu.core import rotations as rot  # noqa: E402
+from quadruped_ctrl_tpu.core.types import Command  # noqa: E402
+from quadruped_ctrl_tpu.mpc import pipeline  # noqa: E402
+from quadruped_ctrl_tpu.models.floating_base import MiniCheetahModel  # noqa: E402
+from quadruped_ctrl_tpu.sim import articulated as art  # noqa: E402
+from quadruped_ctrl_tpu.sim.terrain import Terrain  # noqa: E402
+
+from tests import ref_bridge  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_lib():
+    lib = ref_bridge.ensure_built()
+    if lib is None:
+        pytest.skip("reference golden library could not be built")
+    return lib
+
+
+def test_mpc_grf_parity_vs_reference_solver(ref_lib):
+    """Our formation+ADMM vs the reference's formation+qpOASES on identical
+    random trot instances (BASELINE 'bit-comparable GRF', 10-step horizon)."""
+    cfg = FrameworkConfig()
+    h, b = 10, 16
+    inputs = pipeline.random_inputs(jax.random.PRNGKey(0), b, h, trot=True)
+    ours = np.asarray(pipeline.solve_batch(cfg, inputs, h=h))
+
+    rmpc = ref_bridge.ReferenceMPC()
+    weights = np.asarray(cfg.mpc.weights, np.float32)
+    for i in range(b):
+        quat = np.asarray(rot.rpy_to_quat(inputs.rpy[i]))
+        ref = rmpc.solve(
+            dt_mpc=cfg.dt_mpc, h=h, mu=cfg.mpc.mu, f_max=cfg.mpc.f_max,
+            p=np.asarray(inputs.position[i]), v=np.asarray(inputs.v_world[i]),
+            quat_wxyz=quat, omega=np.asarray(inputs.omega_world[i]),
+            r_feet=np.asarray(inputs.r_feet[i]).T,  # axis-major (RobotState.cpp:25-27)
+            yaw=float(inputs.rpy[i, 2]), weights=weights,
+            traj=np.asarray(inputs.traj[i]), alpha=cfg.mpc.alpha,
+            gait_table=np.asarray(inputs.gait_table[i]),
+            x_drag=float(inputs.x_drag[i]),
+        )
+        d0 = np.abs(ours[i, 0] - ref[0]).max()
+        dall = np.abs(ours[i] - ref).max()
+        assert d0 < 0.5, f"scenario {i}: first-step GRF diff {d0:.3f} N"
+        assert dall < 1.0, f"scenario {i}: horizon GRF diff {dall:.3f} N"
+
+
+@pytest.fixture(scope="module")
+def reference_driven_trace(ref_lib):
+    """Run the reference controller closed-loop on our articulated plant,
+    with our controller shadowing the identical sensor stream."""
+    cfg = FrameworkConfig()
+    terrain = Terrain.plane()
+    model = MiniCheetahModel()
+    n, stand, vx = 780, 390, 0.4
+
+    sens_fn = jax.jit(lambda s: art.sensors_from_articulated(cfg, s))
+    step_fn = jax.jit(lambda st, sens, cmd: ctrl.controller_step(cfg, st, sens, cmd))
+    plant_fn = jax.jit(lambda s, tau: art.articulated_step(cfg, model, s, tau, terrain))
+    pre_fn = jax.jit(lambda st, sens: ctrl.pre_work(cfg, st, sens))
+
+    sim = art.articulated_init(cfg, model, terrain)
+    state = ctrl.init_state(cfg)
+    rc = ref_bridge.ReferenceController(freq=cfg.sim.freq)
+    s0 = sens_fn(sim)
+    imu0, leg0 = ref_bridge.sensors_to_arrays(jax.tree.map(np.asarray, s0))
+    for _ in range(10):                      # walking_simulation.py:185-189
+        rc.pre_work(imu0, leg0)
+        state = pre_fn(state, s0)
+
+    rc.set_robot_mode(1)
+    rc.set_gait_type(9)
+    rc.set_robot_vel([0.0, 0.0, 0.0])
+    cmd_stand = Command.create(0.0, 0.0, 0.0, gait_type=9, robot_mode=1)
+    cmd_trot = Command.create(vx, 0.0, 0.0, gait_type=9, robot_mode=0)
+
+    tau_ref = np.zeros((n, 12))
+    tau_ours = np.zeros((n, 12))
+    ps = np.zeros((n, 3))
+    rpys = np.zeros((n, 3))
+    rpy_fn = jax.jit(rot.quat_to_rpy)
+    for t in range(n):
+        if t == stand:
+            rc.set_robot_mode(0)
+            rc.set_gait_type(9)
+            rc.set_robot_vel([vx, 0.0, 0.0])
+        sens = sens_fn(sim)
+        imu, leg = ref_bridge.sensors_to_arrays(jax.tree.map(np.asarray, sens))
+        tau_ref[t] = rc.torques(imu, leg)
+        state, out = step_fn(state, sens, cmd_stand if t < stand else cmd_trot)
+        tau_ours[t] = np.asarray(out.tau).ravel()
+        ps[t] = np.asarray(sim.p)
+        rpys[t] = np.asarray(rpy_fn(sim.quat))
+        sim = plant_fn(sim, jnp.asarray(tau_ref[t], jnp.float32))
+
+    return dict(tau_ref=tau_ref, tau_ours=tau_ours, ps=ps, rpys=rpys,
+                stand=stand, n=n)
+
+
+def test_reference_controller_stabilizes_our_plant(reference_driven_trace):
+    """The unmodified C++ stack must stand and trot on our articulated
+    dynamics — cross-validating plant and controller models."""
+    tr = reference_driven_trace
+    ps, rpys, stand = tr["ps"], tr["rpys"], tr["stand"]
+    settle = 100
+    assert ps[settle:, 2].min() > 0.22, "body height collapsed"
+    assert ps[settle:, 2].max() < 0.33, "body height blew up"
+    assert np.abs(rpys[settle:, :2]).max() < 0.15, "roll/pitch diverged"
+    assert ps[-1, 0] > 0.15, "no forward progress while trotting"
+
+
+def test_torque_trace_parity(reference_driven_trace):
+    """Our torques along the reference-driven trajectory (robust aggregate
+    thresholds; see module docstring for why not bitwise)."""
+    tr = reference_driven_trace
+    d = tr["tau_ours"] - tr["tau_ref"]
+    stand, n = tr["stand"], tr["n"]
+
+    def rel_rms(sl):
+        return float(
+            np.sqrt((d[sl] ** 2).mean())
+            / np.sqrt((tr["tau_ref"][sl] ** 2).mean())
+        )
+
+    r_stand = rel_rms(slice(50, stand))
+    r_trot = rel_rms(slice(stand, n))
+    med = float(np.median(np.abs(d).max(axis=1)))
+    assert r_stand < 0.30, f"stand-phase torque rel RMS {r_stand:.3f}"
+    assert r_trot < 0.45, f"trot-phase torque rel RMS {r_trot:.3f}"
+    assert med < 1.2, f"median per-tick torque deviation {med:.3f} N*m"
