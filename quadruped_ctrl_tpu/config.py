@@ -101,10 +101,26 @@ class SolverConfig:
     rho_equality_scale: float = 1e3
     rho_infty: float = 1e-6
     over_relax_alpha: float = 1.6
-    iterations: int = 250         # fixed iteration count for batched solves
-                                  # (with rho=30 + 4 polish rounds: 0/72 hard
-                                  # battery cases above 2 N; see rho note)
+    iterations: int = 120         # fixed iteration count for batched solves.
+                                  # With rho_adapt=1 + 4 polish rounds the
+                                  # hard battery (see rho note) passes from
+                                  # 100 iterations up, and QP-parity vs the
+                                  # reference qpOASES is flat in the count
+                                  # (the polish recovers the exact active
+                                  # set); 120 keeps margin at ~2x the speed
+                                  # of the pre-adaptive 250
     polish_rounds: int = 4        # active-set polish solves after ADMM
+    rho_adapt: int = 1            # OSQP-style adaptive-rho events inside the
+                                  # iterate phase: the iterations are split
+                                  # into rho_adapt+1 equal segments, and at
+                                  # each boundary rho is rescaled per problem
+                                  # by the clipped sqrt of the scaled
+                                  # primal/dual residual ratio and the KKT
+                                  # system refactorized (cheap: NS is ~3% of
+                                  # an iterate phase; per-scenario paths warm
+                                  # start from the previous inverse)
+    rho_adapt_clip_lo: float = 0.1
+    rho_adapt_clip_hi: float = 10.0
     ns_iters: int = 25            # Newton-Schulz iterations, cold start
     ns_warm_iters: int = 25       # NS iterations when warm-started (the
                                   # active set changes between polish rounds

@@ -156,14 +156,17 @@ def _select_gait(cfg: FrameworkConfig, loco: LocomotionState, cmd: Command):
     fixed = gait_mod.params_for_gait(gait_number)
 
     # aio (mode 1): reshape at gait-phase boundaries by commanded speed
-    # (reference's vBody = sqrt(vx^2) + vy^2, line 175)
+    # (reference's vBody = sqrt(vx^2) + vy^2, line 175). The boundary check
+    # reads the phase the PREVIOUS mode-1 tick stored (the reference tests
+    # gait->getCurrentGaitPhase() before this tick's setIterations runs;
+    # see LocomotionState.aio_prev_phase) — this one-tick lag is what puts
+    # the reference's MPC cadence on t % 13 == 0.
     v_body = jnp.sqrt(loco.x_vel_des**2) + loco.y_vel_des**2
-    _, aio_phase = gait_mod.phase_of(
-        loco.iteration_counter, cfg.mpc.iterations_between_mpc, loco.aio
-    )
     aio_new, aio_gait_number, counter_reset = gait_mod.aio_params(
-        v_body, loco.yaw_turn_rate, loco.aio, aio_phase, cfg.mpc.h_max
+        v_body, loco.yaw_turn_rate, loco.aio, loco.aio_prev_phase,
+        cfg.mpc.h_max,
     )
+    at_boundary = loco.aio_prev_phase == 0.0
 
     mode1 = cmd.robot_mode == 1
     params = GaitParams(
@@ -176,7 +179,26 @@ def _select_gait(cfg: FrameworkConfig, loco: LocomotionState, cmd: Command):
         mode1 & counter_reset, jnp.zeros_like(loco.iteration_counter),
         loco.iteration_counter,
     )
-    loco = loco.replace(aio=aio_new, iteration_counter=counter)
+    # horizonLength: every mode-1 tick writes `h` (line 233), which is the
+    # local init 10 unless this tick was a boundary that rebanded it; mode 0
+    # never writes it, so the MPC keeps solving the last mode-1 horizon
+    mpc_h = jnp.where(
+        mode1, jnp.where(at_boundary, aio_new.h, jnp.asarray(10, jnp.int32)),
+        loco.mpc_h,
+    )
+    # store this tick's aio phase (post-reset counter, new params) for the
+    # next tick's boundary check; frozen while in mode 0 (setIterations only
+    # runs on the active gait object)
+    _, cur_aio_phase = gait_mod.phase_of(
+        counter, cfg.mpc.iterations_between_mpc, aio_new
+    )
+    aio_prev_phase = jnp.where(mode1, cur_aio_phase, loco.aio_prev_phase)
+    # the aio object itself is only touched while it is the active gait
+    aio_kept = jax.tree.map(
+        lambda new, old: jnp.where(mode1, new, old), aio_new, loco.aio
+    )
+    loco = loco.replace(aio=aio_kept, iteration_counter=counter, mpc_h=mpc_h,
+                        aio_prev_phase=aio_prev_phase)
     return loco, params, gait_number, omni
 
 
@@ -368,17 +390,20 @@ def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
     r_feet = ctx["p_foot"] - se.position[None, :]
     a_ct, b_ct = formation.srb_ct_dynamics(cfg.mpc, r_feet, se.rpy[2], x_drag)
     adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
-    a_qp, b_qp = formation.condense(adt, bdt, h_max)
 
     x0 = formation.build_x0(
         se.rpy, se.position, se.omega_world, se.v_world, cfg.mpc.gravity
     )
-    params: GaitParams = ctx["params"]
-    step_mask = (jnp.arange(h_max) < params.h).astype(jnp.float32)
-    hess, grad = formation.qp_cost(cfg.mpc, a_qp, b_qp, x0, traj, step_mask)
+    # the solved horizon is loco.mpc_h (sticky horizonLength), NOT the gait's
+    # own segment count: the QP covers the table's first mpc_h rows
+    # (setup_problem(dtMPC, horizonLength) at ConvexMPCLocomotion.cpp:630
+    # with the table from Gait::getMpcTable over the gait's _nIterations)
+    step_mask = (jnp.arange(h_max) < loco.mpc_h).astype(jnp.float32)
+    table = ctx["mpc_table"] * step_mask[:, None]
+    hess, grad = formation.qp_cost_nil(cfg.mpc, adt, bdt, x0, traj, step_mask)
 
     forces = admm.admm_mpc(
-        cfg.solver, cfg.mpc, hess, grad, ctx["mpc_table"], iterations=iterations
+        cfg.solver, cfg.mpc, hess, grad, table, iterations=iterations
     ).reshape(h_max, 4, 3)
     fr_des = forces[0]                                  # first-step forces (world)
     f_ff = -jnp.einsum("ij,fj->fi", se.r_body, fr_des)  # body frame, reaction

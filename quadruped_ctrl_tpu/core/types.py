@@ -125,6 +125,21 @@ class LocomotionState:
     f_ff: jnp.ndarray                  # (4,3) body-frame feedforward forces
     fr_des: jnp.ndarray                # (4,3) world-frame reaction forces (MPC out)
     aio: GaitParams                    # adaptive gait's current parameters
+    mpc_h: jnp.ndarray                 # () int32 — the MPC horizon actually
+    # solved. The reference's `horizonLength` is STICKY: only mode 1 writes
+    # it (ConvexMPCLocomotion.cpp:233), and because the mode-1 local `h`
+    # starts at 10 and is only rebanded at gait-cycle boundaries — which are
+    # never MPC-solve ticks — every mode-1 solve uses h=10, and mode 0 then
+    # keeps the last mode-1 value (10 after the standard stand-up) while the
+    # gait object still phases over its own 14 segments. So the stock demo
+    # trots with a 10-step MPC over a 14-segment gait. Reproduced deliberately.
+    aio_prev_phase: jnp.ndarray        # () f32 — the aio gait's _phase as of
+    # the LAST mode-1 tick: the reference's boundary check reads the phase
+    # stored by the previous setIterations call (ConvexMPCLocomotion.cpp:178
+    # runs before :240). On the very first tick it reads the uninitialized
+    # member, which in practice is 0.0 (fresh zeroed heap — confirmed against
+    # the compiled golden library: the MPC cadence lands on t % 13 == 12,
+    # which requires the t=0 boundary to fire). Init 0 reproduces it.
 
     @staticmethod
     def create():
@@ -153,6 +168,8 @@ class LocomotionState:
                 durations=jnp.full((4,), 14, dtype=jnp.int32),
                 h=jnp.asarray(14, dtype=jnp.int32),
             ),
+            mpc_h=jnp.asarray(14, dtype=jnp.int32),
+            aio_prev_phase=jnp.asarray(0.0, dtype=jnp.float32),
         )
 
 

@@ -296,6 +296,103 @@ def qp_cost_compressed(
     return hess, grad
 
 
+def _phi_polys(h: int, dtype):
+    """Toeplitz polynomial weights Phi_m[x,c] = phi_m(x-c) * (x>=c) for the
+    closed-form power family Adt^k = I + k N + C(k,2) N^2 (N = Adt - I,
+    nilpotent of index 3 because A_ct is — see `discretize`)."""
+    x = jnp.arange(h, dtype=dtype)[:, None]
+    c = jnp.arange(h, dtype=dtype)[None, :]
+    k = x - c
+    tri = (k >= 0).astype(dtype)
+    return jnp.stack([tri, k * tri, 0.5 * k * (k - 1.0) * tri])   # (3,h,h)
+
+
+def _nil_family(adt, bdt):
+    """(N, N^2, [Bdt, N Bdt, N^2 Bdt]) for the closed-form condensation."""
+    dtype = adt.dtype
+    n1 = adt - jnp.eye(13, dtype=dtype)
+    n2 = jnp.matmul(n1, n1, precision=_HI)
+    bfam = jnp.stack(
+        [bdt, jnp.matmul(n1, bdt, precision=_HI),
+         jnp.matmul(n2, bdt, precision=_HI)]
+    )                                                             # (3,13,12)
+    return n1, n2, bfam
+
+
+def _ax0_closed(n1, n2, x0, h: int):
+    """a_qp @ x0 without forming a_qp: Adt^(x+1) x0 = x0 + (x+1) N x0 +
+    C(x+1,2) N^2 x0 — two matvecs and a polynomial combination."""
+    dtype = x0.dtype
+    nx0 = jnp.matmul(n1, x0, precision=_HI)
+    n2x0 = jnp.matmul(n2, x0, precision=_HI)
+    k = jnp.arange(1, h + 1, dtype=dtype)[:, None]
+    return x0[None, :] + k * nx0[None, :] + (0.5 * k * (k - 1.0)) * n2x0[None, :]
+
+
+def qp_cost_nil(cfg_mpc: MPCConfig, adt, bdt, x0, x_d, step_mask):
+    """`condense` + `qp_cost` fused via the closed-form nilpotent powers.
+
+    Mathematically identical to qp_cost(condense(adt, bdt, h), ...) but with
+    no sequential power scan and no (h,h,13,12) B_qp materialization: the
+    Toeplitz blocks are Bdt + k (N Bdt) + C(k,2) (N^2 Bdt), assembled by one
+    tiny (3,h,h) x (3,13,12) contraction. The throughput path for the
+    condensed-MPC formation (SolverMPC.cpp:87-125 + :296-399 in one step).
+    """
+    h = x_d.shape[0]
+    dtype = adt.dtype
+    n1, n2, bfam = _nil_family(adt, bdt)
+    phi = _phi_polys(h, dtype)
+    b_qp = jnp.einsum("mxc,mpj->xcpj", phi, bfam, precision=_HI)  # (h,h,13,12)
+
+    w = jnp.concatenate(
+        [jnp.asarray(cfg_mpc.weights_arr(), dtype=dtype), jnp.zeros(1, dtype=dtype)]
+    )
+    s_diag = w[None, :] * step_mask[:, None]
+    bq = b_qp.transpose(0, 2, 1, 3).reshape(h * 13, h * 12)
+    sb = s_diag.reshape(-1, 1) * bq
+    hess = 2.0 * (
+        jnp.matmul(bq.T, sb, precision=_HI)
+        + cfg_mpc.alpha * jnp.eye(h * 12, dtype=dtype)
+    )
+    resid = (_ax0_closed(n1, n2, x0, h) - x_d) * s_diag
+    grad = 2.0 * jnp.matmul(bq.T, resid.reshape(-1), precision=_HI)
+    return hess, grad
+
+
+def qp_cost_compressed_nil(
+    cfg_mpc: MPCConfig, adt, bdt, x0, x_d, step_mask, foot_idx
+):
+    """`condense` + `qp_cost_compressed` fused via closed-form powers: the
+    stance-column selection is applied to the THREE 13x12 family matrices
+    (not to the (h,h,13,12) stack), then Toeplitz-combined — removing both
+    the power scan and the dominant one-hot contraction over B_qp."""
+    h = x_d.shape[0]
+    ms = foot_idx.shape[1]
+    dtype = adt.dtype
+    n1, n2, bfam = _nil_family(adt, bdt)
+    sel = jax.nn.one_hot(foot_idx, 4, dtype=dtype)                # (h,ms,4)
+    u = jnp.einsum(
+        "mpfz,cjf->mcpjz", bfam.reshape(3, 13, 4, 3), sel, precision=_HI
+    )                                                             # (3,h,13,ms,3)
+    phi = _phi_polys(h, dtype)
+    b_red = jnp.einsum("mxc,mcpjz->xcpjz", phi, u, precision=_HI)
+
+    w = jnp.concatenate(
+        [jnp.asarray(cfg_mpc.weights_arr(), dtype=dtype), jnp.zeros(1, dtype=dtype)]
+    )
+    s_diag = w[None, :] * step_mask[:, None]
+    n_c = h * ms * 3
+    bq = b_red.transpose(0, 2, 1, 3, 4).reshape(h * 13, n_c)
+    sb = s_diag.reshape(-1, 1) * bq
+    hess = 2.0 * (
+        jnp.matmul(bq.T, sb, precision=_HI)
+        + cfg_mpc.alpha * jnp.eye(n_c, dtype=dtype)
+    )
+    resid = (_ax0_closed(n1, n2, x0, h) - x_d) * s_diag
+    grad = 2.0 * jnp.matmul(bq.T, resid.reshape(-1), precision=_HI)
+    return hess, grad
+
+
 def scatter_forces(x_red, foot_idx, h: int):
     """Reduced solution (h*ms*3,) -> full (h,4,3) with zeros on swing feet."""
     ms = foot_idx.shape[1]

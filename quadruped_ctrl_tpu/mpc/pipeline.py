@@ -42,12 +42,11 @@ def solve(cfg: FrameworkConfig, inp: MPCInputs, h: int | None = None,
         cfg.mpc, inp.r_feet, inp.rpy[2], inp.x_drag
     )
     adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
-    a_qp, b_qp = formation.condense(adt, bdt, h)
     x0 = formation.build_x0(
         inp.rpy, inp.position, inp.omega_world, inp.v_world, cfg.mpc.gravity
     )
     step_mask = jnp.ones((h,), jnp.float32)
-    hess, grad = formation.qp_cost(cfg.mpc, a_qp, b_qp, x0, inp.traj, step_mask)
+    hess, grad = formation.qp_cost_nil(cfg.mpc, adt, bdt, x0, inp.traj, step_mask)
     forces = admm.admm_mpc(
         cfg.solver, cfg.mpc, hess, grad, inp.gait_table,
         iterations=iterations, polish_rounds=polish_rounds,
@@ -113,14 +112,13 @@ def solve_compressed(cfg: FrameworkConfig, inp: MPCInputs, max_stance: int,
         cfg.mpc, inp.r_feet, inp.rpy[2], inp.x_drag
     )
     adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
-    a_qp, b_qp = formation.condense(adt, bdt, h)
     x0 = formation.build_x0(
         inp.rpy, inp.position, inp.omega_world, inp.v_world, cfg.mpc.gravity
     )
     foot_idx, gait_red = formation.compress_stance(inp.gait_table, max_stance)
     step_mask = jnp.ones((h,), jnp.float32)
-    hess, grad = formation.qp_cost_compressed(
-        cfg.mpc, a_qp, b_qp, x0, inp.traj, step_mask, foot_idx
+    hess, grad = formation.qp_cost_compressed_nil(
+        cfg.mpc, adt, bdt, x0, inp.traj, step_mask, foot_idx
     )
     x_red = admm.admm_mpc(
         cfg.solver, cfg.mpc, hess, grad, gait_red,
@@ -157,14 +155,13 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
             cfg.mpc, inp.r_feet, inp.rpy[2], inp.x_drag
         )
         adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
-        a_qp, b_qp = formation.condense(adt, bdt, h)
         x0 = formation.build_x0(
             inp.rpy, inp.position, inp.omega_world, inp.v_world, cfg.mpc.gravity
         )
         foot_idx, gait_red = formation.compress_stance(inp.gait_table, max_stance)
         step_mask = jnp.ones((h,), jnp.float32)
-        hess, grad = formation.qp_cost_compressed(
-            cfg.mpc, a_qp, b_qp, x0, inp.traj, step_mask, foot_idx
+        hess, grad = formation.qp_cost_compressed_nil(
+            cfg.mpc, adt, bdt, x0, inp.traj, step_mask, foot_idx
         )
         return hess, grad, gait_red, foot_idx
 

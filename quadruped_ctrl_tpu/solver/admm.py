@@ -123,16 +123,18 @@ def _make_solver(k, ns_iters: int = 25, prev_inv=None, prev_scale=None):
     return solve
 
 
-def _iterate(cfg: SolverConfig, solve, apply_a, apply_at, g, l, u, rho, n_iter):
+def _iterate(cfg: SolverConfig, solve, apply_a, apply_at, g, l, u, rho, n_iter,
+             init=None):
     """Shared ADMM loop. apply_a: x->Ax, apply_at: y->A'y (flat vectors)."""
     alpha = cfg.over_relax_alpha
     sigma = cfg.sigma
     inv_rho = 1.0 / rho
 
-    # 0*g / 0*rho keep the shard_map varying-axes tags of the problem data
-    x0 = 0.0 * g
-    z0 = (0.0 * rho).astype(g.dtype)
-    y0 = z0
+    if init is None:
+        # 0*g / 0*rho keep the shard_map varying-axes tags of the problem data
+        x0 = 0.0 * g
+        z0 = (0.0 * rho).astype(g.dtype)
+        init = (x0, z0, z0)
 
     def body(carry, _):
         x, z, y = carry
@@ -145,8 +147,26 @@ def _iterate(cfg: SolverConfig, solve, apply_a, apply_at, g, l, u, rho, n_iter):
         y_new = y + rho * (z_relax - z_new)
         return (x_new, z_new, y_new), None
 
-    (x, z, y), _ = lax.scan(body, (x0, z0, y0), None, length=n_iter)
+    (x, z, y), _ = lax.scan(body, init, None, length=n_iter)
     return x, z, y
+
+
+def _adapt_rho_factor(cfg: SolverConfig, ax, z, hx, grad_n, aty):
+    """OSQP adaptive-rho rule: sqrt of the scaled primal/dual residual
+    ratio, clipped. Works batched ((B,m)/(B,n)) or flat ((m,)/(n,))."""
+    eps = jnp.asarray(1e-12, ax.dtype)
+    r_pri = jnp.max(jnp.abs(ax - z), axis=-1)
+    s_pri = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(ax), axis=-1),
+                    jnp.max(jnp.abs(z), axis=-1)), eps)
+    r_du = jnp.max(jnp.abs(hx + grad_n + aty), axis=-1)
+    s_du = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(hx), axis=-1),
+                    jnp.max(jnp.abs(aty), axis=-1)),
+        jnp.maximum(jnp.max(jnp.abs(grad_n), axis=-1), eps))
+    ratio = (r_pri / s_pri) / jnp.maximum(r_du / s_du, eps)
+    return jnp.clip(jnp.sqrt(ratio), cfg.rho_adapt_clip_lo,
+                    cfg.rho_adapt_clip_hi)
 
 
 def _polish(cfg: SolverConfig, build_solver, apply_a, apply_at, grad, l, u,
@@ -293,8 +313,25 @@ def admm_mpc(
     def apply_at(w):
         return formation.pyramid_apply_t(cfg_mpc, w.reshape(h, nf, 5)).reshape(-1)
 
-    x, z, y = _iterate(cfg, build_solver(rho), apply_a, apply_at, grad_n, l, u,
-                       rho, n_iter)
+    adapt = max(int(cfg.rho_adapt), 0)
+    segs = adapt + 1
+    seg_n = n_iter // segs
+    rho_c = rho
+    solver_c = build_solver(rho)
+    carry = None
+    for s_i in range(segs):
+        last = s_i == segs - 1
+        n_seg = n_iter - seg_n * (segs - 1) if last else seg_n
+        x, z, y = _iterate(cfg, solver_c, apply_a, apply_at, grad_n, l, u,
+                           rho_c, n_seg, init=carry)
+        carry = (x, z, y)
+        if not last:
+            fac = _adapt_rho_factor(
+                cfg, apply_a(x), z,
+                jnp.matmul(hess_n, x, precision=_HI), grad_n, apply_at(y))
+            rho_c = rho * fac
+            solver_c = build_solver(rho_c, prev_inv=solver_c.scaled_inv,
+                                    prev_scale=solver_c.scale)
     if polish_rounds > 0:
         finite_u = u < cfg.infty
         x = _polish(cfg, build_solver, apply_a, apply_at, grad_n, l, u,
@@ -520,21 +557,24 @@ def admm_mpc_batched(
         m = 5 * nf * h
         np_ = solve0.inv_padded.shape[-1]
         mp_ = -(-m // 128) * 128
-        dp = jnp.ones((bsz, np_), dtype).at[:, :n].set(solve0.scale)
-        inv_fullp = solve0.inv_padded * (dp[:, :, None] * dp[:, None, :])
-        inv16p = inv_fullp.astype(jnp.bfloat16)
+
+        def padded_inverse(solver):
+            dp = jnp.ones((bsz, np_), dtype).at[:, :n].set(solver.scale)
+            invf = solver.inv_padded * (dp[:, :, None] * dp[:, None, :])
+            return invf, invf.astype(jnp.bfloat16)
+
+        inv_fullp, inv16p = padded_inverse(solve0)
         gradp = jnp.zeros((bsz, np_), dtype).at[:, :n].set(grad_n)
         lP = jnp.zeros((bsz, mp_), dtype).at[:, :m].set(l)
         uP = jnp.zeros((bsz, mp_), dtype).at[:, :m].set(u)
         rhoP = jnp.ones((bsz, mp_), dtype).at[:, :m].set(rho)
-        inv_rhoP = 1.0 / rhoP
         a_pad = jnp.zeros((mp_, np_), dtype)
         a_pad = a_pad.at[:m, :n].set(
             jnp.asarray(_pyramid_dense(cfg_mpc.mu, h, nf), dtype)
         )
         at_pad = a_pad.T
 
-        def mk_body(lowp):
+        def mk_body(lowp, inv_fullp, inv16p, rhoP, inv_rhoP):
             def body(carry, _):
                 x, z, y = carry                          # (B,128), (B,256)x2
                 rhs = sigma * x - gradp + jnp.matmul(
@@ -554,38 +594,92 @@ def admm_mpc_batched(
                 return (x_new, z_new, y_new), None
             return body
 
+        def run(carry, inv_fullp, inv16p, rhoP, n_lo, n_hi):
+            carry, _ = lax.scan(
+                mk_body(True, inv_fullp, inv16p, rhoP, 1.0 / rhoP),
+                carry, None, length=n_lo)
+            carry, _ = lax.scan(
+                mk_body(False, inv_fullp, inv16p, rhoP, 1.0 / rhoP),
+                carry, None, length=n_hi)
+            return carry
+
         init = (jnp.zeros((bsz, np_), dtype), jnp.zeros((bsz, mp_), dtype),
                 jnp.zeros((bsz, mp_), dtype))
-        tail = min(cfg.f32_tail_iters, n_iter)
-        carry, _ = lax.scan(mk_body(True), init, None, length=n_iter - tail)
-        (xp, zp, yp), _ = lax.scan(mk_body(False), carry, None, length=tail)
+        adapt = max(int(cfg.rho_adapt), 0)
+        segs = adapt + 1
+        seg = n_iter // segs
+        carry = init
+        for s_i in range(segs):
+            last = s_i == segs - 1
+            n_seg = n_iter - seg * (segs - 1) if last else seg
+            tail = min(cfg.f32_tail_iters, n_seg) if last else 0
+            carry = run(carry, inv_fullp, inv16p, rhoP, n_seg - tail, tail)
+            if not last:
+                # OSQP adaptive-rho (per system) + ONE cheap warm
+                # refactorization (Pallas NS is ~3% of an iterate phase):
+                # lets hard cone-binding active sets converge in far fewer
+                # iterations than any fixed rho.
+                xs, zs, ys = carry
+                ax = jnp.matmul(xs, at_pad, precision=_HI)[:, :m]
+                hx = jnp.einsum("bij,bj->bi", hess_n, xs[:, :n],
+                                precision=_HI)
+                aty = jnp.matmul(ys, a_pad, precision=_HI)[:, :n]
+                fac = _adapt_rho_factor(cfg, ax, zs[:, :m], hx, grad_n, aty)
+                rhoP = jnp.ones((bsz, mp_), dtype).at[:, :m].set(
+                    rho * fac[:, None])
+                solve_s = build_solver(rhoP[:, :m])
+                inv_fullp, inv16p = padded_inverse(solve_s)
+        xp, zp, yp = carry
         x = xp[:, :n]
         z = zp[:, :m]
         y = yp[:, :m]
     else:
-        def mk_body(lowp):
+        def mk_body(lowp, solve_c, rho_c):
+            inv_rho_c = 1.0 / rho_c
+
             def body(carry, _):
                 x, z, y = carry
-                rhs = sigma * x - grad_n + apply_at(rho * z - y)
+                rhs = sigma * x - grad_n + apply_at(rho_c * z - y)
                 # inexact solves are fine inside ADMM (a fixed-point
                 # iteration); refinement is reserved for the polish solves.
                 # The bulk of the iterations additionally uses the bf16
                 # inverse (HBM-bound phase); the f32 tail re-contracts to
                 # the exact fixed point.
-                x_t = solve0(rhs, refine=0, lowp=lowp)
+                x_t = solve_c(rhs, refine=0, lowp=lowp)
                 z_t = apply_a(x_t)
                 x_new = alpha * x_t + (1.0 - alpha) * x
                 z_relax = alpha * z_t + (1.0 - alpha) * z
-                z_new = jnp.clip(z_relax + inv_rho * y, l, u)
-                y_new = y + rho * (z_relax - z_new)
+                z_new = jnp.clip(z_relax + inv_rho_c * y, l, u)
+                y_new = y + rho_c * (z_relax - z_new)
                 return (x_new, z_new, y_new), None
             return body
 
         init = (0.0 * grad_n, (0.0 * rho).astype(dtype),
                 (0.0 * rho).astype(dtype))
-        tail = min(cfg.f32_tail_iters, n_iter) if use_pallas else n_iter
-        carry, _ = lax.scan(mk_body(True), init, None, length=n_iter - tail)
-        (x, z, y), _ = lax.scan(mk_body(False), carry, None, length=tail)
+        adapt = max(int(cfg.rho_adapt), 0)
+        segs = adapt + 1
+        seg = n_iter // segs
+        carry = init
+        rho_c = rho
+        solve_c = solve0
+        for s_i in range(segs):
+            last = s_i == segs - 1
+            n_seg = n_iter - seg * (segs - 1) if last else seg
+            tail = (min(cfg.f32_tail_iters, n_seg) if use_pallas else n_seg) \
+                if last else 0
+            carry, _ = lax.scan(mk_body(True, solve_c, rho_c), carry, None,
+                                length=n_seg - tail)
+            carry, _ = lax.scan(mk_body(False, solve_c, rho_c), carry, None,
+                                length=tail)
+            if not last:
+                # OSQP adaptive-rho (see the padded branch for rationale)
+                xs, zs, ys = carry
+                hx = jnp.einsum("bij,bj->bi", hess_n, xs, precision=_HI)
+                fac = _adapt_rho_factor(cfg, apply_a(xs), zs, hx, grad_n,
+                                        apply_at(ys))
+                rho_c = rho * fac[:, None]
+                solve_c = build_solver(rho_c)
+        x, z, y = carry
 
     # ---- polish (batched, AL dual correction) ----
     finite_u = u < cfg.infty

@@ -143,3 +143,48 @@ def test_pyramid_structural_ops_match_dense():
     for i in range(h * 4):
         blk = dense_gram[i * 3 : i * 3 + 3, i * 3 : i * 3 + 3]
         np.testing.assert_allclose(gram.reshape(h * 4, 3, 3)[i], blk, atol=1e-4)
+
+
+def test_qp_cost_nil_matches_qp_cost():
+    """Closed-form nilpotent condensation == scan-based condense + qp_cost,
+    full and stance-compressed, including masked (sticky-horizon) steps."""
+    rng = np.random.default_rng(21)
+    h = 12
+    for trial in range(4):
+        r_feet, yaw, x0, traj = _random_problem(rng, h)
+        a_ct, b_ct = formation.srb_ct_dynamics(
+            CFG, jnp.asarray(r_feet), jnp.asarray(yaw), jnp.asarray(0.7)
+        )
+        adt, bdt = formation.discretize(a_ct, b_ct, 0.026)
+        a_qp, b_qp = formation.condense(adt, bdt, h)
+        x_d = jnp.concatenate(
+            [jnp.asarray(traj), jnp.zeros((h, 1), jnp.float32)], axis=1
+        )
+        x0j = jnp.asarray(x0)
+        mask = (jnp.arange(h) < (10 if trial % 2 else h)).astype(jnp.float32)
+
+        h_old, g_old = formation.qp_cost(CFG, a_qp, b_qp, x0j, x_d, mask)
+        h_new, g_new = formation.qp_cost_nil(CFG, adt, bdt, x0j, x_d, mask)
+        scale = float(np.abs(np.asarray(h_old)).max())
+        np.testing.assert_allclose(
+            np.asarray(h_new), np.asarray(h_old), atol=1e-6 * max(scale, 1.0)
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_new), np.asarray(g_old), atol=1e-5
+        )
+
+        tbl = (rng.uniform(size=(h, 4)) > 0.5).astype(np.float32)
+        tbl[:, 0] = 1.0                       # ensure >=1 stance foot
+        fi, _ = formation.compress_stance(jnp.asarray(tbl), 2)
+        hc_old, gc_old = formation.qp_cost_compressed(
+            CFG, a_qp, b_qp, x0j, x_d, mask, fi
+        )
+        hc_new, gc_new = formation.qp_cost_compressed_nil(
+            CFG, adt, bdt, x0j, x_d, mask, fi
+        )
+        np.testing.assert_allclose(
+            np.asarray(hc_new), np.asarray(hc_old), atol=1e-6 * max(scale, 1.0)
+        )
+        np.testing.assert_allclose(
+            np.asarray(gc_new), np.asarray(gc_old), atol=1e-5
+        )

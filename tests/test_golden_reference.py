@@ -152,9 +152,20 @@ def test_torque_trace_parity(reference_driven_trace):
             / np.sqrt((tr["tau_ref"][sl] ** 2).mean())
         )
 
+    # score a bounded window: closed-loop chaos (XLA CPU reduction
+    # nondeterminism amplified through the rollout) grows with trace length
+    # and can misalign a late swing transition by a tick, so the far tail is
+    # stability-tested (test above) but not torque-scored.
+    trot_end = min(stand + 250, n)
     r_stand = rel_rms(slice(50, stand))
-    r_trot = rel_rms(slice(stand, n))
-    med = float(np.median(np.abs(d).max(axis=1)))
+    r_trot = rel_rms(slice(stand, trot_end))
+    tick_max = np.abs(d).max(axis=1)
+    med = float(np.median(tick_max[50:trot_end]))
+    spike_frac = float((tick_max[50:trot_end] > 2.0).mean())
+    # measured on aligned runs: stand 0.07, trot 0.02, median 0.1, spikes 0.
+    # The robust discriminator for a real regression is the spike fraction:
+    # an MPC-cadence off-by-one spikes every 13th tick (~7.7%) above 2 N*m.
     assert r_stand < 0.30, f"stand-phase torque rel RMS {r_stand:.3f}"
-    assert r_trot < 0.45, f"trot-phase torque rel RMS {r_trot:.3f}"
-    assert med < 1.2, f"median per-tick torque deviation {med:.3f} N*m"
+    assert r_trot < 0.35, f"trot-phase torque rel RMS {r_trot:.3f}"
+    assert med < 0.5, f"median per-tick torque deviation {med:.3f} N*m"
+    assert spike_frac < 0.05, f"{spike_frac:.1%} of ticks deviate >2 N*m"
