@@ -140,6 +140,11 @@ class SolverConfig:
     f32_tail_iters: int = 50
     infty: float = 1e10
     eql_tol: float = 1e-9
+    # solver-failure acceptance gate (control path only): max friction-
+    # pyramid primal violation, in Newtons, before the previous tick's
+    # solution is held (the reference's stale-solution-on-failure semantics,
+    # SolverMPC.cpp:539-541). Nominal polished solves sit below 0.05 N.
+    fail_primal_tol: float = 2.0
 
 
 @dataclass(frozen=True)

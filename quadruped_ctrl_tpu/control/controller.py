@@ -12,10 +12,17 @@ function over an explicit state pytree. Semantics preserved on purpose:
   (counter is incremented between foot placement and updateMPCIfNeeded,
   ConvexMPCLocomotion.cpp:375, 502) and the last solution is held between
   solves;
-* safety failures latch and zero the torques forever (GaitCtrller.cpp:108-142);
-  of the four reference checks only orientation and joint limits can ever
-  fire, because pDes/force checks run on commands zeroed at the top of the
-  tick (zeroCommand at GaitCtrller.cpp:100 precedes them) — reproduced as-is;
+* safety failures latch and zero the torques forever (GaitCtrller.cpp:108-142).
+  All four reference checks are wired (GaitCtrller.cpp:108-123): orientation
+  and joint limits in `control_tick`; pDes and force-feedforward in
+  `leg_commands`, on the *actually commanded* values with the reference's
+  clamp side-effects. (In the reference those two run on commands zeroed at
+  the top of the tick — zeroCommand at GaitCtrller.cpp:100 precedes them —
+  so they can never fire there; here they see the real commands. On nominal
+  trajectories they pass, so golden parity is unaffected.);
+* solver failures hold the previous MPC solution (SolverMPC.cpp:539-541,
+  convexMPC_interface.cpp:175-180): a non-finite or friction-infeasible
+  solve keeps the last f_ff/Fr_des and bumps `mpc_fail_count`;
 * stance feet are damped toward the last computed swing-trajectory velocity
   (which is zero at touchdown), with force feedforward from the MPC.
 
@@ -405,14 +412,39 @@ def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
     forces = admm.admm_mpc(
         cfg.solver, cfg.mpc, hess, grad, table, iterations=iterations
     ).reshape(h_max, 4, 3)
-    fr_des = forces[0]                                  # first-step forces (world)
-    f_ff = -jnp.einsum("ij,fj->fi", se.r_body, fr_des)  # body frame, reaction
-
-    loco = loco.replace(
-        world_position_desired=wpd, x_comp_integral=x_comp, f_ff=f_ff,
-        fr_des=fr_des,
-    )
+    loco = _accept_solution(cfg, loco, se, forces, table)
+    loco = loco.replace(world_position_desired=wpd, x_comp_integral=x_comp)
     return state.replace(core=core.replace(locomotion=loco))
+
+
+def solution_ok(cfg: FrameworkConfig, forces, table):
+    """Solver-failure detector: finite solution + friction-pyramid primal
+    feasibility within cfg.solver.fail_primal_tol (in Newtons).
+
+    The ADMM solve cannot 'fail' loudly like qpOASES (SolverMPC.cpp:539-541)
+    — a diverged or infeasible solve would flow straight into torques — so
+    the acceptance test is the structural primal residual, which costs two
+    elementwise passes over the (h,4,5) pyramid rows."""
+    ax = formation.pyramid_apply(cfg.mpc, forces)              # (h,4,5)
+    l3, u3 = formation.pyramid_bounds(cfg.mpc, table.astype(forces.dtype))
+    up_viol = jnp.where(u3 < cfg.solver.infty, ax - u3, 0.0)
+    viol = jnp.max(jnp.maximum(l3 - ax, up_viol))
+    return jnp.all(jnp.isfinite(forces)) & (viol < cfg.solver.fail_primal_tol)
+
+
+def _accept_solution(cfg: FrameworkConfig, loco, se: StateEstimate, forces,
+                     table):
+    """Accept the MPC forces, or hold the previous solution on solver failure
+    (the reference keeps the stale qpOASES solution and prints
+    'failed to solve!', SolverMPC.cpp:539-541 / convexMPC_interface.cpp:
+    175-180; here the event is counted in loco.mpc_fail_count)."""
+    ok = solution_ok(cfg, forces, table)
+    fr_des = jnp.where(ok, forces[0], loco.fr_des)      # first-step forces
+    f_ff = -jnp.einsum("ij,fj->fi", se.r_body, fr_des)  # body frame, reaction
+    return loco.replace(
+        f_ff=f_ff, fr_des=fr_des,
+        mpc_fail_count=loco.mpc_fail_count + (1 - ok.astype(jnp.int32)),
+    )
 
 
 @exact_matmuls
@@ -457,17 +489,25 @@ def leg_commands(cfg: FrameworkConfig, state: FullControllerState, ctx):
     )
     force_ff = jnp.where(in_swing[:, None], 0.0, loco.f_ff)
 
+    # safety cascade, second half (GaitCtrller.cpp:113-118): pDes and
+    # force-feedforward checks on the actually-commanded values, with the
+    # reference's clamp side-effects; failures latch like the first half
+    p_des_leg, ok_pdes = safety.check_p_des_foot(cfg.safety, cfg.robot,
+                                                 p_des_leg)
+    force_ff, ok_force = safety.check_force_feedforward(cfg.safety, force_ff)
+    safety_ok = core.safety_ok & ok_pdes & ok_force
+
     tau = leg_controller.update_command(
         cfg.control, leg, p_des_leg, v_des_leg, kp, kd, force_ff
     )
-    tau = jnp.where(core.safety_ok, tau, jnp.zeros_like(tau))
+    tau = jnp.where(safety_ok, tau, jnp.zeros_like(tau))
 
     # contact phase feedback to the estimator (line 472)
     se_contact = jnp.where(in_swing, 0.0, contact_states)
     est = core.estimator.replace(contact_phase=se_contact)
 
     loco = loco.replace(first_swing=first_swing, swing_p0=swing_p0)
-    core = core.replace(estimator=est, locomotion=loco)
+    core = core.replace(estimator=est, locomotion=loco, safety_ok=safety_ok)
     state = state.replace(core=core, swing_p_cur=p_traj, swing_v_cur=v_traj)
 
     out = ControllerOutput(

@@ -133,6 +133,9 @@ class LocomotionState:
     # keeps the last mode-1 value (10 after the standard stand-up) while the
     # gait object still phases over its own 14 segments. So the stock demo
     # trots with a 10-step MPC over a 14-segment gait. Reproduced deliberately.
+    mpc_fail_count: jnp.ndarray        # () int32 — solver-failure events
+    # (non-finite or friction-infeasible solves whose stale solution was
+    # held; the reference's "failed to solve!" path, SolverMPC.cpp:539-541)
     aio_prev_phase: jnp.ndarray        # () f32 — the aio gait's _phase as of
     # the LAST mode-1 tick: the reference's boundary check reads the phase
     # stored by the previous setIterations call (ConvexMPCLocomotion.cpp:178
@@ -169,6 +172,7 @@ class LocomotionState:
                 h=jnp.asarray(14, dtype=jnp.int32),
             ),
             mpc_h=jnp.asarray(14, dtype=jnp.int32),
+            mpc_fail_count=jnp.asarray(0, dtype=jnp.int32),
             aio_prev_phase=jnp.asarray(0.0, dtype=jnp.float32),
         )
 
