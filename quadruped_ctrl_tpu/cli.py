@@ -115,10 +115,16 @@ def cmd_sweep(args):
         cfg, (0.0, args.vx_max), (-0.3, 0.3), (-0.5, 0.5),
         [GAITS[g] for g in args.gaits.split(",")], args.batch, key,
     )
+    # h_sol=10: the mode-1 stand phase runs the aio standing band (h=10) and
+    # the mode-0 sweep keeps the sticky horizonLength 10 (see
+    # LocomotionState.mpc_h) — so the 120-var packed KKT systems fit the
+    # 128 Pallas tile. Raise via --h-sol for custom mode-1 sweeps.
     timer = Timer()
-    states, sims, _ = br.batch_rollout(cfg, states, sims, stand, terr, 16)
+    states, sims, _ = br.batch_rollout(
+        cfg, states, sims, stand, terr, 16, h_sol=args.h_sol
+    )
     states, sims, recs = br.batch_rollout(
-        cfg, states, sims, cmds, terr, args.macros
+        cfg, states, sims, cmds, terr, args.macros, h_sol=args.h_sol
     )
     import numpy as np
 
@@ -191,6 +197,9 @@ def main(argv=None):
     s.add_argument("--terrains", default="plane")
     s.add_argument("--gaits", default="trot")
     s.add_argument("--vx-max", type=float, default=1.0)
+    s.add_argument("--h-sol", type=int, default=10,
+                   help="static solved MPC horizon (mode-0 sweeps keep the "
+                        "sticky horizonLength 10; raise for mode-1 sweeps)")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--config", default=None)
     s.add_argument("--log", default=None)

@@ -109,6 +109,14 @@ class SolverConfig:
                                   # (the polish recovers the exact active
                                   # set); 120 keeps margin at ~2x the speed
                                   # of the pre-adaptive 250
+    warm_iterations: int = 40     # iterate budget for temporally warm-started
+                                  # closed-loop solves (batch_rollout): with
+                                  # the previous tick's shifted (x,z,y) as
+                                  # init, consecutive solves (dtMPC apart)
+                                  # converge in a third of the cold budget;
+                                  # zeros-init degenerates to a cold start,
+                                  # and the acceptance gate + polish cover
+                                  # the first (cold) solve of a session
     polish_rounds: int = 4        # active-set polish solves after ADMM
     rho_adapt: int = 1            # OSQP-style adaptive-rho events inside the
                                   # iterate phase: the iterations are split

@@ -81,7 +81,8 @@ class FullControllerState:
             jac=jnp.zeros((4, 3, 3), jnp.float32),
         )
         return FullControllerState(
-            core=ControllerState.create(cfg.estimator.initial_p),
+            core=ControllerState.create(cfg.estimator.initial_p,
+                                        cfg.mpc.h_max),
             prev_leg=zero_leg,
             swing_p_cur=jnp.zeros((4, 3), jnp.float32),
             swing_v_cur=jnp.zeros((4, 3), jnp.float32),
@@ -357,19 +358,14 @@ def control_tick(cfg: FrameworkConfig, state: FullControllerState,
     return state, ctx
 
 
-@exact_matmuls
-def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
-               iterations: int | None = None):
-    """Reference trajectory + formation + ADMM solve; updates f_ff/Fr_des.
-
-    Reference: updateMPCIfNeeded + solveDenseMPC (ConvexMPCLocomotion.cpp:
-    498-687). Only applied when ctx['mpc_due'] (callers either cond on it or
-    run every 13th tick by construction).
-    """
-    core = state.core
-    loco = core.locomotion
+def _mpc_problem(cfg: FrameworkConfig, state: FullControllerState, ctx,
+                 h_sol: int):
+    """Per-scenario condensed-QP build (the formation half of solveDenseMPC,
+    ConvexMPCLocomotion.cpp:592-665): reference trajectory, x-drag, SRB
+    linearization + discretization, cost assembly over the first `h_sol`
+    table rows. Returns (hess, grad, table, wpd, x_comp)."""
+    loco = state.core.locomotion
     se: StateEstimate = ctx["se"]
-    h_max = cfg.mpc.h_max
 
     traj, wpd = build_reference(
         cfg,
@@ -381,7 +377,7 @@ def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
         loco.yaw_des_true,
         loco.yaw_turn_rate,
         ctx["v_des_world"],
-        h_max,
+        h_sol,
     )
 
     # x-drag integral: solve uses the PRE-update value (solveDenseMPC:632-640)
@@ -405,16 +401,79 @@ def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
     # own segment count: the QP covers the table's first mpc_h rows
     # (setup_problem(dtMPC, horizonLength) at ConvexMPCLocomotion.cpp:630
     # with the table from Gait::getMpcTable over the gait's _nIterations)
-    step_mask = (jnp.arange(h_max) < loco.mpc_h).astype(jnp.float32)
-    table = ctx["mpc_table"] * step_mask[:, None]
+    step_mask = (jnp.arange(h_sol) < loco.mpc_h).astype(jnp.float32)
+    table = ctx["mpc_table"][:h_sol] * step_mask[:, None]
     hess, grad = formation.qp_cost_nil(cfg.mpc, adt, bdt, x0, traj, step_mask)
+    return hess, grad, table, wpd, x_comp
 
-    forces = admm.admm_mpc(
-        cfg.solver, cfg.mpc, hess, grad, table, iterations=iterations
-    ).reshape(h_max, 4, 3)
-    loco = _accept_solution(cfg, loco, se, forces, table)
+
+@exact_matmuls
+def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
+               iterations: int | None = None):
+    """Reference trajectory + formation + ADMM solve; updates f_ff/Fr_des.
+
+    Reference: updateMPCIfNeeded + solveDenseMPC (ConvexMPCLocomotion.cpp:
+    498-687). Only applied when ctx['mpc_due'] (callers either cond on it or
+    run every 13th tick by construction).
+    """
+    h_max = cfg.mpc.h_max
+    hess, grad, table, wpd, x_comp = _mpc_problem(cfg, state, ctx, h_max)
+    loco0 = state.core.locomotion
+    forces, warm = admm.admm_mpc(
+        cfg.solver, cfg.mpc, hess, grad, table, iterations=iterations,
+        warm=_warm_slices(loco0, h_max), return_warm=True,
+    )
+    forces = forces.reshape(h_max, 4, 3)
+    ok = solution_ok(cfg, forces, table)
+    loco = _accept_solution(cfg, loco0, ctx["se"], forces, table, ok=ok)
+    loco = _store_warm(loco, warm, h_max, h_max, ok)
     loco = loco.replace(world_position_desired=wpd, x_comp_integral=x_comp)
-    return state.replace(core=core.replace(locomotion=loco))
+    return state.replace(core=state.core.replace(locomotion=loco))
+
+
+@exact_matmuls
+def mpc_update_batched(cfg: FrameworkConfig, state: FullControllerState, ctx,
+                       h_sol: int | None = None,
+                       iterations: int | None = None,
+                       polish_rounds: int | None = None):
+    """Batch-axis-explicit `mpc_update` — the closed-loop fast path.
+
+    Semantically `jax.vmap(mpc_update)` (identical formation and splitting),
+    but the solves run through `admm.admm_mpc_batched`, whose KKT
+    factorizations dispatch to the VMEM-resident Pallas Newton-Schulz kernel
+    and whose iterate phase streams a bf16 inverse in tile-aligned padded
+    space (solver/admm.py) — the same solver path the flagship throughput
+    bench uses, now driving the scenario engines.
+
+    `h_sol` is the static solved horizon; it should be >= every scenario's
+    runtime `loco.mpc_h` (cfg.mpc.h_max is always safe; pass 10 for pure
+    mode-0 sweeps after a mode-1 stand-up, where the reference's sticky
+    horizonLength is always 10 — see LocomotionState.mpc_h). A scenario
+    whose mpc_h exceeds h_sol degrades gracefully to an h_sol-step MPC (the
+    step mask truncates; shapes never change).
+    """
+    h_sol = cfg.mpc.h_max if h_sol is None else h_sol
+    h_max = cfg.mpc.h_max
+    hess, grad, table, wpd, x_comp = jax.vmap(
+        lambda s, c: _mpc_problem(cfg, s, c, h_sol)
+    )(state, ctx)
+    warm = jax.vmap(lambda s: _warm_slices(s.core.locomotion, h_sol))(state)
+    x, warm_out = admm.admm_mpc_batched(
+        cfg.solver, cfg.mpc, hess, grad, table,
+        iterations=iterations, polish_rounds=polish_rounds,
+        warm=warm, return_warm=True,
+    )
+    forces = x.reshape(-1, h_sol, 4, 3)
+
+    def accept(s, se, f, t, w, wpd_i, xc):
+        ok = solution_ok(cfg, f, t)
+        loco = _accept_solution(cfg, s.core.locomotion, se, f, t, ok=ok)
+        loco = _store_warm(loco, w, h_sol, h_max, ok)
+        loco = loco.replace(world_position_desired=wpd_i, x_comp_integral=xc)
+        return s.replace(core=s.core.replace(locomotion=loco))
+
+    return jax.vmap(accept)(state, ctx["se"], forces, table, warm_out, wpd,
+                            x_comp)
 
 
 def solution_ok(cfg: FrameworkConfig, forces, table):
@@ -433,17 +492,50 @@ def solution_ok(cfg: FrameworkConfig, forces, table):
 
 
 def _accept_solution(cfg: FrameworkConfig, loco, se: StateEstimate, forces,
-                     table):
+                     table, ok=None):
     """Accept the MPC forces, or hold the previous solution on solver failure
     (the reference keeps the stale qpOASES solution and prints
     'failed to solve!', SolverMPC.cpp:539-541 / convexMPC_interface.cpp:
     175-180; here the event is counted in loco.mpc_fail_count)."""
-    ok = solution_ok(cfg, forces, table)
+    ok = solution_ok(cfg, forces, table) if ok is None else ok
     fr_des = jnp.where(ok, forces[0], loco.fr_des)      # first-step forces
     f_ff = -jnp.einsum("ij,fj->fi", se.r_body, fr_des)  # body frame, reaction
     return loco.replace(
         f_ff=f_ff, fr_des=fr_des,
         mpc_fail_count=loco.mpc_fail_count + (1 - ok.astype(jnp.int32)),
+    )
+
+
+def _warm_slices(loco, h_sol: int):
+    """The stored warm-start triple, flattened to the solver's layout for an
+    h_sol-step problem (zeros = cold start)."""
+    return (
+        loco.mpc_warm_x[:h_sol].reshape(-1),
+        loco.mpc_warm_z[:h_sol].reshape(-1),
+        loco.mpc_warm_y[:h_sol].reshape(-1),
+    )
+
+
+def _store_warm(loco, warm, h_sol: int, h_max: int, ok):
+    """Advance the solver's returned warm triple by one gait segment
+    (consecutive solves are dtMPC apart — exactly one row of the rolled MPC
+    table, so the shifted iterate aligns with the next problem's active-set
+    structure) and store it at h_max size. Failed or non-finite solves reset
+    the store to zeros (cold restart)."""
+
+    def shift(w, d):
+        w = w.reshape(h_sol, 4, d)
+        w = jnp.concatenate([w[1:], w[-1:]], axis=0)
+        return jnp.zeros((h_max, 4, d), jnp.float32).at[:h_sol].set(w)
+
+    wx, wz, wy = warm
+    good = ok
+    for w in warm:
+        good = good & jnp.all(jnp.isfinite(w))
+    sx, sz, sy = shift(wx, 3), shift(wz, 5), shift(wy, 5)
+    keep = lambda a: jnp.where(good, a, jnp.zeros_like(a))
+    return loco.replace(
+        mpc_warm_x=keep(sx), mpc_warm_z=keep(sz), mpc_warm_y=keep(sy)
     )
 
 

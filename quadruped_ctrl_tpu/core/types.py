@@ -136,6 +136,13 @@ class LocomotionState:
     mpc_fail_count: jnp.ndarray        # () int32 — solver-failure events
     # (non-finite or friction-infeasible solves whose stale solution was
     # held; the reference's "failed to solve!" path, SolverMPC.cpp:539-541)
+    # Temporal warm start (role of qpOASES's setToMPC hot-start options,
+    # SolverMPC.cpp:530-532): the pre-polish ADMM iterate of the last solve,
+    # advanced by one gait segment, in the solver's force-normalized units.
+    # Zeros = cold start; reset to zeros when a solve fails.
+    mpc_warm_x: jnp.ndarray            # (h_max,4,3)
+    mpc_warm_z: jnp.ndarray            # (h_max,4,5)
+    mpc_warm_y: jnp.ndarray            # (h_max,4,5)
     aio_prev_phase: jnp.ndarray        # () f32 — the aio gait's _phase as of
     # the LAST mode-1 tick: the reference's boundary check reads the phase
     # stored by the previous setIterations call (ConvexMPCLocomotion.cpp:178
@@ -145,7 +152,7 @@ class LocomotionState:
     # which requires the t=0 boundary to fire). Init 0 reproduces it.
 
     @staticmethod
-    def create():
+    def create(h_max: int = 16):
         return LocomotionState(
             iteration_counter=jnp.asarray(0, dtype=jnp.int32),
             x_vel_des=jnp.asarray(0.0, dtype=jnp.float32),
@@ -173,6 +180,9 @@ class LocomotionState:
             ),
             mpc_h=jnp.asarray(14, dtype=jnp.int32),
             mpc_fail_count=jnp.asarray(0, dtype=jnp.int32),
+            mpc_warm_x=jnp.zeros((h_max, 4, 3), dtype=jnp.float32),
+            mpc_warm_z=jnp.zeros((h_max, 4, 5), dtype=jnp.float32),
+            mpc_warm_y=jnp.zeros((h_max, 4, 5), dtype=jnp.float32),
             aio_prev_phase=jnp.asarray(0.0, dtype=jnp.float32),
         )
 
@@ -188,10 +198,10 @@ class ControllerState:
     gamepad: jnp.ndarray       # (3,) deadbanded velocity command
 
     @staticmethod
-    def create(initial_p: float = 100.0):
+    def create(initial_p: float = 100.0, h_max: int = 16):
         return ControllerState(
             estimator=EstimatorState.create(initial_p),
-            locomotion=LocomotionState.create(),
+            locomotion=LocomotionState.create(h_max),
             safety_ok=jnp.asarray(True),
             gamepad=jnp.zeros(3, dtype=jnp.float32),
         )

@@ -199,7 +199,8 @@ def _kernel(mus, n_quad, n_hi, n_iter, polish_rounds, sigma, alpha_rx,
 def fused_admm_solve(a_dense, hess, grad, l, u, rho, *,
                      mus_a0=1e-5, n_scaled=9, n_quad=2, n_hi=2,
                      n_iter=250, polish_rounds=4, sigma=1e-6,
-                     alpha_rx=1.6, w_act=1e4, act_tol=1e-4, infty=1e10):
+                     alpha_rx=1.6, w_act=1e4, act_tol=1e-4, infty=1e10,
+                     interpret=False):
     """Solve B box-pyramid QPs fully in VMEM.
 
     a_dense: (M,N) shared padded constraint matrix (zero rows as padding).
@@ -235,4 +236,5 @@ def fused_admm_solve(a_dense, hess, grad, l, u, rho, *,
             bytes_accessed=b * (N * N + 3 * M + 2 * N) * 4 + M * N * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(a_dense, a_dense.T, hess, grad, l, u, rho)

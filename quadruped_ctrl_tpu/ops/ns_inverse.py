@@ -24,11 +24,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N = 128           # padded system size
+N = 128           # default padded system size (n <= 128, e.g. packed h=10)
+N_BIG = 256       # large tile (128 < n <= 256, e.g. the full h=16 problem)
+
+
+def pad_sizes(n: int) -> int:
+    """Smallest supported kernel tile for an n-variable system. Lane
+    dimensions must be multiples of 128 on TPU, so the tiles are 128/256."""
+    if n <= N:
+        return N
+    assert n <= N_BIG, f"system size {n} exceeds the {N_BIG} kernel tile"
+    return N_BIG
 
 
 def _kernel(iters: int, k_ref, out_ref):
-    eye = jnp.eye(N, dtype=jnp.float32)
+    eye = jnp.eye(k_ref.shape[-1], dtype=jnp.float32)
     k = k_ref[:]
     alpha = 1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=-1))
     x = alpha * eye
@@ -48,32 +58,40 @@ def _kernel(iters: int, k_ref, out_ref):
     out_ref[:] = jax.lax.fori_loop(0, iters, body, x)
 
 
-def ns_inverse_pallas(ks, iters: int = 25):
-    """ks: (128, 128) Jacobi-scaled SPD (padded). Returns its approximate
-    inverse. Batch by vmapping (the batch axis becomes the Pallas grid)."""
-    assert ks.shape[-2:] == (N, N), "pad to 128 first"
+def ns_inverse_pallas(ks, iters: int = 25, interpret: bool = False):
+    """ks: (n_pad, n_pad) Jacobi-scaled SPD (padded to a supported tile).
+    Returns its approximate inverse. Batch by vmapping (the batch axis
+    becomes the Pallas grid)."""
+    npad = ks.shape[-1]
+    assert ks.shape[-2:] in ((N, N), (N_BIG, N_BIG)), "pad to 128/256 first"
     return pl.pallas_call(
         functools.partial(_kernel, iters),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((npad, npad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * iters * 2 * N**3,
-            bytes_accessed=2 * N * N * 4,
+            flops=2 * iters * 2 * npad**3,
+            bytes_accessed=2 * npad * npad * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(ks)
 
 
-def pad_to_128(k, n: int):
-    """Embed an (..., n, n) SPD block into (..., 128, 128) with identity
+def pad_to(k, n: int, n_pad: int | None = None):
+    """Embed an (..., n, n) SPD block into (..., n_pad, n_pad) with identity
     padding (the padded block's inverse is the padded inverse)."""
-    shape = k.shape[:-2] + (N, N)
+    n_pad = pad_sizes(n) if n_pad is None else n_pad
+    shape = k.shape[:-2] + (n_pad, n_pad)
     out = jnp.zeros(shape, jnp.float32)
     out = out.at[..., :n, :n].set(k)
-    idx = jnp.arange(n, N)
+    idx = jnp.arange(n, n_pad)
     out = out.at[..., idx, idx].set(1.0)
     return out
+
+
+def pad_to_128(k, n: int):
+    return pad_to(k, n, N)
 
 
 # ---------------------------------------------------------------------------
@@ -88,7 +106,7 @@ G = 8
 
 
 def _kernel_blocked(iters: int, k_ref, out_ref):
-    eye = jnp.eye(N, dtype=jnp.float32)
+    eye = jnp.eye(k_ref.shape[-1], dtype=jnp.float32)
     for g in range(G):
         k = k_ref[g]
         alpha = 1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=-1))
@@ -109,23 +127,24 @@ def _kernel_blocked(iters: int, k_ref, out_ref):
         out_ref[g] = jax.lax.fori_loop(0, iters, body, x)
 
 
-def ns_inverse_pallas_blocked(ks, iters: int = 25):
-    """ks: (B, 128, 128), B padded to a multiple of G by the caller."""
-    b = ks.shape[0]
+def ns_inverse_pallas_blocked(ks, iters: int = 25, interpret: bool = False):
+    """ks: (B, n_pad, n_pad), B padded to a multiple of G by the caller."""
+    b, npad = ks.shape[0], ks.shape[-1]
     assert b % G == 0
     return pl.pallas_call(
         functools.partial(_kernel_blocked, iters),
         grid=(b // G,),
-        in_specs=[pl.BlockSpec((G, N, N), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((G, N, N), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, N, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * iters * 2 * N**3,
-            bytes_accessed=2 * b * N * N * 4,
+            flops=2 * b * iters * 2 * npad**3,
+            bytes_accessed=2 * b * npad * npad * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(ks)
 
 
@@ -187,7 +206,7 @@ def mu_schedule(a0: float, n_scaled: int):
 
 
 def _kernel_scaled(mus, n_quad: int, n_hi: int, k_ref, out_ref):
-    eye = jnp.eye(N, dtype=jnp.float32)
+    eye = jnp.eye(k_ref.shape[-1], dtype=jnp.float32)
     for g in range(G):
         k = k_ref[g]
         k_hi, k_lo = _split(k)
@@ -222,26 +241,29 @@ def _kernel_scaled(mus, n_quad: int, n_hi: int, k_ref, out_ref):
 
 
 def ns_inverse_pallas_scaled(ks, a0: float = 1e-5, n_scaled: int = 9,
-                             n_quad: int = 2, n_hi: int = 2):
-    """Scaled mixed-precision NS inverse. ks: (B, 128, 128) Jacobi-prescaled
-    SPD, B a multiple of G. Handles condition numbers up to ~1/a0; the
-    defaults carry 10x margin over the MPC KKT systems' measured ~4e3."""
-    b = ks.shape[0]
+                             n_quad: int = 2, n_hi: int = 2,
+                             interpret: bool = False):
+    """Scaled mixed-precision NS inverse. ks: (B, n_pad, n_pad)
+    Jacobi-prescaled SPD, B a multiple of G, n_pad in {128, 256}. Handles
+    condition numbers up to ~1/a0; the defaults carry 10x margin over the
+    MPC KKT systems' measured ~4e3."""
+    b, npad = ks.shape[0], ks.shape[-1]
     assert b % G == 0
     total = n_scaled + n_quad + n_hi
     return pl.pallas_call(
         functools.partial(_kernel_scaled, mu_schedule(a0, n_scaled), n_quad, n_hi),
         grid=(b // G,),
-        in_specs=[pl.BlockSpec((G, N, N), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((G, N, N), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, N, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * total * 2 * N**3,
-            bytes_accessed=2 * b * N * N * 4,
+            flops=2 * b * total * 2 * npad**3,
+            bytes_accessed=2 * b * npad * npad * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(ks)
 
 
@@ -257,15 +279,16 @@ def make_ns_inverse(iters: int = 25):
     @f.def_vmap
     def rule(axis_size, in_batched, ks):
         lead = ks.shape[:-2]
-        flat = ks.reshape((-1, N, N))
+        npad = ks.shape[-1]
+        flat = ks.reshape((-1, npad, npad))
         b = flat.shape[0]
         pad = (-b) % G
         if pad:
             flat = jnp.concatenate(
-                [flat, jnp.broadcast_to(jnp.eye(N, dtype=jnp.float32),
-                                        (pad, N, N))], axis=0
+                [flat, jnp.broadcast_to(jnp.eye(npad, dtype=jnp.float32),
+                                        (pad, npad, npad))], axis=0
             )
         inv = ns_inverse_pallas_blocked(flat, iters)[:b]
-        return inv.reshape(lead + (N, N)), True
+        return inv.reshape(lead + (npad, npad)), True
 
     return f

@@ -41,16 +41,27 @@ def shard_batch(tree, mesh: Mesh):
 
 
 def sharded_mpc_solve(cfg: FrameworkConfig, mesh: Mesh, h: int,
-                      iterations: int | None = None):
+                      iterations: int | None = None, packed: bool = True,
+                      max_stance: int = 2):
     """Returns a jitted function: sharded MPCInputs batch -> (forces, stats).
 
     Forces stay sharded; stats (mean |f|, count) are psum'd over the mesh —
-    the cross-shard reduction exercising ICI collectives.
+    the cross-shard reduction exercising ICI collectives. With `packed`
+    (default) each shard solves through the stance-compressed pair-packed
+    fast path (pipeline.solve_packed_batch -> admm_mpc_batched -> Pallas on
+    TPU); gait tables must then have <= max_stance stance feet per step
+    (raise it for non-trot gaits), and odd per-shard batches fall back to
+    the per-scenario vmap path (the differential reference, any gait).
     """
     spec = P(("dp", "mp"))
 
     def local(inp: pipeline.MPCInputs):
-        forces = pipeline.solve_batch(cfg, inp, iterations=iterations)
+        if packed and inp.rpy.shape[0] % 2 == 0:
+            forces = pipeline.solve_packed_batch(
+                cfg, inp, max_stance=max_stance, iterations=iterations
+            )
+        else:
+            forces = pipeline.solve_batch(cfg, inp, iterations=iterations)
         local_sum = jnp.sum(jnp.abs(forces))
         local_n = jnp.asarray(forces.size, jnp.float32)
         total = jax.lax.psum(local_sum, ("dp", "mp"))

@@ -39,6 +39,35 @@ def _one_tick(cfg, state, sim, cmd, terrain, with_mpc: bool, mpc_iterations):
     return state, sim, out
 
 
+def _mpc_tick_batched(cfg, states, sims, cmds, terrains, h_sol,
+                      mpc_iterations):
+    """The every-13th tick with the MPC solve batch-explicit: control_tick
+    and leg_commands vmap per lane, while the solve itself runs through
+    `controller.mpc_update_batched` -> `admm.admm_mpc_batched` (Pallas NS
+    factorization + tile-aligned bf16-streamed iterate) — the same fast
+    solver path as the throughput bench, instead of per-lane `admm_mpc`
+    under vmap."""
+    sensors = jax.vmap(lambda s: engine.sensors_from_sim(cfg, s))(sims)
+    states, ctx = jax.vmap(
+        lambda st, sn, c: ctrl.control_tick(cfg, st, sn, c)
+    )(states, sensors, cmds)
+    # closed-loop solves are temporally warm-started (controller state
+    # carries the previous tick's shifted iterate), so the reduced
+    # warm_iterations budget applies unless the caller overrides
+    iters = (cfg.solver.warm_iterations if mpc_iterations is None
+             else mpc_iterations)
+    states = ctrl.mpc_update_batched(
+        cfg, states, ctx, h_sol=h_sol, iterations=iters
+    )
+    states, outs = jax.vmap(
+        lambda st, c: ctrl.leg_commands(cfg, st, c)
+    )(states, ctx)
+    sims = jax.vmap(
+        lambda sm, o, t: engine.sim_step(cfg, sm, o, t)
+    )(sims, outs, terrains)
+    return states, sims
+
+
 def batch_init(cfg: FrameworkConfig, terrains: Terrain, batch: int):
     """vmapped controller+sim initial states for a batch of terrains."""
     def one(i):
@@ -48,7 +77,8 @@ def batch_init(cfg: FrameworkConfig, terrains: Terrain, batch: int):
     return jax.vmap(one)(jnp.arange(batch))
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_macro", "mpc_iterations"))
+@partial(jax.jit,
+         static_argnames=("cfg", "n_macro", "mpc_iterations", "h_sol"))
 def batch_rollout(
     cfg: FrameworkConfig,
     states,                 # batched FullControllerState
@@ -57,9 +87,11 @@ def batch_rollout(
     terrains: Terrain,      # batched
     n_macro: int,
     mpc_iterations: int | None = None,
+    h_sol: int | None = None,
 ):
     """Run n_macro macro-steps (13 ticks each). Returns
-    (states, sims, per-macro records)."""
+    (states, sims, per-macro records). `h_sol` is the static solved MPC
+    horizon (see mpc_update_batched; default cfg.mpc.h_max is always safe)."""
     ib = cfg.mpc.iterations_between_mpc
 
     def warm(carry, _):
@@ -89,12 +121,9 @@ def batch_rollout(
 
     def macro(carry, _):
         states, sims = carry
-
-        def mpc_tick(state, sim, cmd, terr):
-            s, m, out = _one_tick(cfg, state, sim, cmd, terr, True, mpc_iterations)
-            return s, m
-
-        states, sims = jax.vmap(mpc_tick)(states, sims, commands, terrains)
+        states, sims = _mpc_tick_batched(
+            cfg, states, sims, commands, terrains, h_sol, mpc_iterations
+        )
         (states, sims), _ = lax.scan(
             plain_tick, (states, sims), None, length=ib - 1
         )

@@ -266,6 +266,8 @@ def admm_mpc(
     gait_table,      # (h,4) contact flags in {0,1}
     iterations: int | None = None,
     polish_rounds: int | None = None,
+    warm=None,
+    return_warm: bool = False,
 ):
     """MPC-specialized solve with the structural friction pyramid.
 
@@ -276,6 +278,13 @@ def admm_mpc(
     stance-compressed gait table (h, nf<=4) paired with a matching
     compressed Hessian (see formation.compress_stance / qp_cost_compressed).
     Returns forces x (3*nf*h,).
+
+    `warm` is an optional (x_hat, z_hat, y_hat) triple in the solver's
+    force-NORMALIZED units (what a previous call returned via
+    `return_warm=True` — the role of qpOASES's MPC hot-start options,
+    SolverMPC.cpp:530-532); zeros are exactly the cold start. With
+    `return_warm`, returns (forces, (x_hat, z_hat, y_hat)) where the triple
+    is the pre-polish ADMM fixed-point iterate.
     """
     n_iter = cfg.iterations if iterations is None else iterations
     polish_rounds = cfg.polish_rounds if polish_rounds is None else polish_rounds
@@ -318,7 +327,7 @@ def admm_mpc(
     seg_n = n_iter // segs
     rho_c = rho
     solver_c = build_solver(rho)
-    carry = None
+    carry = warm
     for s_i in range(segs):
         last = s_i == segs - 1
         n_seg = n_iter - seg_n * (segs - 1) if last else seg_n
@@ -336,6 +345,8 @@ def admm_mpc(
         finite_u = u < cfg.infty
         x = _polish(cfg, build_solver, apply_a, apply_at, grad_n, l, u,
                     finite_u, x, z, y, polish_rounds)
+    if return_warm:
+        return x * f_scale, carry
     return x * f_scale
 
 
@@ -361,12 +372,13 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool):
         from quadruped_ctrl_tpu.ops import ns_inverse as NI
 
         b = ks.shape[0]
-        ksp = NI.pad_to_128(ks, n)
+        npad = NI.pad_sizes(n)
+        ksp = NI.pad_to(ks, n, npad)
         pad_b = (-b) % NI.G
         if pad_b:
             ksp = jnp.concatenate(
-                [ksp, jnp.broadcast_to(jnp.eye(NI.N, dtype=jnp.float32),
-                                       (pad_b, NI.N, NI.N))], axis=0
+                [ksp, jnp.broadcast_to(jnp.eye(npad, dtype=jnp.float32),
+                                       (pad_b, npad, npad))], axis=0
             )
         inv_padded = NI.ns_inverse_pallas_scaled(
             ksp, cfg.ns_a0, cfg.ns_scaled_iters, cfg.ns_quad_iters,
@@ -491,8 +503,15 @@ def admm_mpc_batched(
     iterations: int | None = None,
     polish_rounds: int | None = None,
     use_pallas: bool | None = None,
+    warm=None,
+    return_warm: bool = False,
 ):
-    """Batch-axis-explicit admm_mpc. Returns forces (B, n)."""
+    """Batch-axis-explicit admm_mpc. Returns forces (B, n).
+
+    `warm`/`return_warm` as in `admm_mpc`, batched: an (x_hat (B,n),
+    z_hat (B,m), y_hat (B,m)) triple in force-normalized units; zeros are
+    exactly the cold start. The returned triple is the pre-polish ADMM
+    iterate, for temporal warm starting across MPC ticks."""
     n_iter = cfg.iterations if iterations is None else iterations
     polish_rounds = cfg.polish_rounds if polish_rounds is None else polish_rounds
     if use_pallas is None:
@@ -603,8 +622,17 @@ def admm_mpc_batched(
                 carry, None, length=n_hi)
             return carry
 
-        init = (jnp.zeros((bsz, np_), dtype), jnp.zeros((bsz, mp_), dtype),
-                jnp.zeros((bsz, mp_), dtype))
+        if warm is None:
+            init = (jnp.zeros((bsz, np_), dtype),
+                    jnp.zeros((bsz, mp_), dtype),
+                    jnp.zeros((bsz, mp_), dtype))
+        else:
+            wx, wz, wy = warm
+            init = (
+                jnp.zeros((bsz, np_), dtype).at[:, :n].set(wx),
+                jnp.zeros((bsz, mp_), dtype).at[:, :m].set(wz),
+                jnp.zeros((bsz, mp_), dtype).at[:, :m].set(wy),
+            )
         adapt = max(int(cfg.rho_adapt), 0)
         segs = adapt + 1
         seg = n_iter // segs
@@ -654,8 +682,11 @@ def admm_mpc_batched(
                 return (x_new, z_new, y_new), None
             return body
 
-        init = (0.0 * grad_n, (0.0 * rho).astype(dtype),
-                (0.0 * rho).astype(dtype))
+        if warm is None:
+            init = (0.0 * grad_n, (0.0 * rho).astype(dtype),
+                    (0.0 * rho).astype(dtype))
+        else:
+            init = tuple(w.astype(dtype) for w in warm)
         adapt = max(int(cfg.rho_adapt), 0)
         segs = adapt + 1
         seg = n_iter // segs
@@ -680,6 +711,8 @@ def admm_mpc_batched(
                 rho_c = rho * fac[:, None]
                 solve_c = build_solver(rho_c)
         x, z, y = carry
+
+    warm_out = (x, z, y)          # pre-polish fixed-point iterate, normalized
 
     # ---- polish (batched, AL dual correction) ----
     finite_u = u < cfg.infty
@@ -720,4 +753,6 @@ def admm_mpc_batched(
 
         (x, _, _, _, _), _ = lax.scan(round_body, carry, None,
                                       length=max(polish_rounds - 1, 0))
+    if return_warm:
+        return x * f_scale, warm_out
     return x * f_scale

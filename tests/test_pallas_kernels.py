@@ -1,0 +1,141 @@
+"""Pallas kernel coverage on every lane.
+
+CPU lane (default): the kernels run under pallas interpret mode, so their
+logic (NS recurrences, mu schedules, mixed-precision splits, tile padding)
+is exercised by the default suite — a kernel regression can no longer ship
+silently behind the TPU-only skip.
+
+TPU lane (QCT_PLATFORM=tpu): the same cases compile and run the real
+Mosaic kernels on-device and are checked against the XLA reference path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_ctrl_tpu.ops import ns_inverse as NI
+
+ON_TPU = jax.default_backend() != "cpu"
+INTERPRET = not ON_TPU
+
+
+def _spd_batch(seed, b, n, npad, cond=1e3):
+    """Jacobi-prescaled random SPD matrices embedded in the kernel tile
+    (host-side NumPy: no device QR compiles through the TPU tunnel)."""
+    rng = np.random.default_rng(seed)
+    ks = []
+    for _ in range(b):
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)).astype(np.float64))
+        ev = np.logspace(0.0, -np.log10(cond), n)
+        k = (q * ev[None, :]) @ q.T
+        d = 1.0 / np.sqrt(np.diagonal(k))
+        ks.append((k * d[:, None] * d[None, :]).astype(np.float32))
+    return NI.pad_to(jnp.asarray(np.stack(ks)), n, npad)
+
+
+@pytest.mark.parametrize("n,npad", [(96, 128), (192, 256)])
+def test_blocked_kernel_inverts(n, npad):
+    ks = _spd_batch(0, NI.G, n, npad)
+    inv = np.asarray(NI.ns_inverse_pallas_blocked(ks, iters=25,
+                                                  interpret=INTERPRET))
+    eye = np.eye(npad, dtype=np.float32)
+    resid = np.abs(np.asarray(ks) @ inv - eye).max()
+    assert resid < 5e-4, resid
+
+
+@pytest.mark.parametrize("n,npad", [(120, 128), (192, 256)])
+def test_scaled_kernel_matches_plain(n, npad):
+    ks = _spd_batch(1, NI.G, n, npad)
+    inv = np.asarray(NI.ns_inverse_pallas_scaled(ks, interpret=INTERPRET))
+    eye = np.eye(npad, dtype=np.float32)
+    resid = np.abs(np.asarray(ks) @ inv - eye).max()
+    # the bf16x3 phases floor at ~1e-4; the HIGHEST tail squares toward f32
+    assert resid < 5e-3, resid
+
+
+def test_single_instance_kernel():
+    ks = _spd_batch(2, 1, 100, 128)[0]
+    inv = np.asarray(NI.ns_inverse_pallas(ks, iters=25, interpret=INTERPRET))
+    resid = np.abs(np.asarray(ks) @ inv - np.eye(128, dtype=np.float32)).max()
+    assert resid < 5e-4, resid
+
+
+def test_pad_to_identity_padding():
+    k = jnp.eye(10, dtype=jnp.float32) * 2.0
+    p = NI.pad_to(k, 10)
+    assert p.shape == (128, 128)
+    np.testing.assert_array_equal(np.asarray(p[10:, 10:]),
+                                  np.eye(118, dtype=np.float32))
+    assert NI.pad_sizes(128) == 128 and NI.pad_sizes(129) == 256
+
+
+def test_fused_admm_kernel_interpret():
+    """The fused single-kernel solver's in-kernel ADMM logic vs the XLA
+    batched path, on a tiny h=4 problem (interpret mode is slow)."""
+    from quadruped_ctrl_tpu.config import default_config
+    from quadruped_ctrl_tpu.mpc import pipeline
+    from quadruped_ctrl_tpu.ops import fused_admm as FA
+    from quadruped_ctrl_tpu.solver import admm
+
+    import dataclasses
+
+    cfg = default_config()
+    # the fused kernel runs a fixed-rho schedule; disable the XLA path's
+    # adaptive-rho events so both solve the identical iteration
+    scfg = dataclasses.replace(cfg.solver, rho_adapt=0)
+    h, b = 4, FA.G
+    inputs = pipeline.random_inputs(jax.random.PRNGKey(3), b, h)
+
+    from quadruped_ctrl_tpu.mpc import formation
+
+    def form(inp):
+        a_ct, b_ct = formation.srb_ct_dynamics(
+            cfg.mpc, inp.r_feet, inp.rpy[2], inp.x_drag
+        )
+        adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
+        x0 = formation.build_x0(
+            inp.rpy, inp.position, inp.omega_world, inp.v_world,
+            cfg.mpc.gravity,
+        )
+        sm = jnp.ones((h,), jnp.float32)
+        return formation.qp_cost_nil(cfg.mpc, adt, bdt, x0, inp.traj, sm)
+
+    hess, grad = jax.vmap(form)(inputs)
+    gait = inputs.gait_table
+
+    x_xla = np.asarray(
+        admm.admm_mpc_batched(scfg, cfg.mpc, hess, grad, gait,
+                              iterations=100, polish_rounds=4,
+                              use_pallas=False)
+    )
+
+    # build the fused kernel's padded inputs exactly as admm_mpc_fused does
+    n, m = 3 * 4 * h, 5 * 4 * h
+    f_scale = cfg.mpc.f_max
+    hp = jnp.zeros((b, FA.N, FA.N), jnp.float32)
+    hp = hp.at[:, :n, :n].set(hess * f_scale * f_scale)
+    idx = jnp.arange(n, FA.N)
+    hp = hp.at[:, idx, idx].set(1.0)
+    gp = jnp.zeros((b, FA.N), jnp.float32).at[:, :n].set(grad * f_scale)
+    big = jnp.asarray(cfg.mpc.big_number, jnp.float32)
+    u3 = jnp.broadcast_to(big, (b, h, 4, 5)).copy()
+    u3 = u3.at[..., 4].set(gait * (cfg.mpc.f_max / f_scale))
+    l = jnp.zeros((b, m), jnp.float32)
+    u = u3.reshape(b, -1)
+    rho = admm.constraint_rho(scfg, l, u)
+    lp = jnp.zeros((b, FA.M), jnp.float32).at[:, :m].set(l)
+    up = jnp.zeros((b, FA.M), jnp.float32).at[:, :m].set(u)
+    rp = jnp.ones((b, FA.M), jnp.float32).at[:, :m].set(rho)
+    a_pad = jnp.zeros((FA.M, FA.N), jnp.float32)
+    a_pad = a_pad.at[:m, :n].set(
+        jnp.asarray(admm._pyramid_dense(cfg.mpc.mu, h, 4))
+    )
+
+    x_k = FA.fused_admm_solve(
+        a_pad, hp, gp, lp, up, rp, n_iter=100, polish_rounds=4,
+        interpret=INTERPRET,
+    )
+    x_k = np.asarray(x_k)[:, :n] * f_scale
+    assert np.isfinite(x_k).all()
+    np.testing.assert_allclose(x_k, x_xla, atol=0.5)
