@@ -334,3 +334,143 @@ class MiniCheetahModel:
             jac = self.contact_jacobians(q12)
             tau = tau + jnp.einsum("fij,fi->j", jac, f_ext_feet)
         return jnp.linalg.solve(m, tau - h)
+
+    # ------------------------------------------------------------------ ABA
+    def aba(self, q12, qd12, base_vel, tau12, r_body=None, f_ext_feet=None,
+            gravity=9.81):
+        """Articulated-Body Algorithm: O(n) forward dynamics with a 6-DoF
+        floating base (the reference's runABA, FloatingBaseModel.cpp:879-958).
+
+        Same qdd (18,) as `forward_dynamics` (differential-tested); gravity
+        and external foot forces enter as per-body external spatial forces,
+        and the reflected rotor inertia adds to each joint's apparent
+        inertia d_i (the diagonal-dominant approximation of the reference's
+        explicit rotor bodies)."""
+        xup, s_list = self._kinematics(q12)
+        x0 = self._body_to_base(xup)
+        g_world = jnp.asarray([0.0, 0.0, -gravity], jnp.float32)
+        g_base = g_world if r_body is None else r_body @ g_world
+        a_grav = jnp.concatenate([jnp.zeros(3, jnp.float32), g_base])
+
+        fext = [jnp.zeros(6, jnp.float32) for _ in range(N_BODIES)]
+        if f_ext_feet is not None:
+            for leg in range(4):
+                knee = 3 + leg * 3
+                e = x0[knee][0:3, 0:3]                  # base -> knee rotation
+                f_knee = e @ f_ext_feet[leg]            # force in knee coords
+                p = self.foot_offsets[leg]
+                fext[knee] = jnp.concatenate(
+                    [jnp.cross(p, f_knee), f_knee]
+                )
+
+        # pass 1: velocities, velocity-product accelerations, bias forces
+        # (gravity as the external force I_i X_{0->i} a_grav on every body)
+        v = [None] * N_BODIES
+        c = [None] * N_BODIES
+        ia = [None] * N_BODIES
+        pa = [None] * N_BODIES
+        v[0] = base_vel
+        ia[0] = self.inertias[0]
+        pa[0] = (
+            sp.force_cross(v[0]) @ (self.inertias[0] @ v[0])
+            - self.inertias[0] @ a_grav
+            - fext[0]
+        )
+        for i in range(1, N_BODIES):
+            si = s_list[i - 1]
+            vj = si * qd12[i - 1]
+            v[i] = xup[i] @ v[self.parents[i]] + vj
+            c[i] = sp.motion_cross(v[i]) @ vj
+            ia[i] = self.inertias[i]
+            pa[i] = (
+                sp.force_cross(v[i]) @ (self.inertias[i] @ v[i])
+                - self.inertias[i] @ (x0[i] @ a_grav)
+                - fext[i]
+            )
+
+        # pass 2: articulated-body inertias inward
+        u_vec = [None] * N_BODIES
+        d_inv = [None] * N_BODIES
+        u_sc = [None] * N_BODIES
+        for i in range(N_BODIES - 1, 0, -1):
+            si = s_list[i - 1]
+            u = ia[i] @ si
+            d = si @ u + self.rotor_refl[i - 1]
+            usc = tau12[i - 1] - si @ pa[i]
+            ia_a = ia[i] - jnp.outer(u, u) / d
+            pa_a = pa[i] + ia_a @ c[i] + u * (usc / d)
+            p = self.parents[i]
+            xf = sp.xform_force(sp.inv_xform(xup[i]))
+            ia[p] = ia[p] + xf @ ia_a @ xup[i]
+            pa[p] = pa[p] + xf @ pa_a
+            u_vec[i], d_inv[i], u_sc[i] = u, 1.0 / d, usc
+
+        # pass 3: accelerations outward
+        a = [None] * N_BODIES
+        a[0] = jnp.linalg.solve(ia[0], -pa[0])
+        qdd = jnp.zeros((12,), jnp.float32)
+        for i in range(1, N_BODIES):
+            ap = xup[i] @ a[self.parents[i]] + c[i]
+            qdd_i = (u_sc[i] - u_vec[i] @ ap) * d_inv[i]
+            a[i] = ap + s_list[i - 1] * qdd_i
+            qdd = qdd.at[i - 1].set(qdd_i)
+        return jnp.concatenate([a[0], qdd])
+
+    # -------------------------------------- operational-space contact tools
+    def inv_contact_inertia(self, q12):
+        """(12,12) inverse operational-space inertia Lambda^-1 = J M^-1 J^T
+        over all four foot contact points (3 rows each) — the reference's
+        invContactInertia (FloatingBaseModel.cpp:1061-1106), computed as
+        batched MXU matmuls instead of the sparse factor recursion. The
+        (4,3,3) per-foot blocks are the diagonal; off-diagonal blocks give
+        inter-foot coupling."""
+        m = self.mass_matrix(q12)
+        jac = self.contact_jacobians(q12).reshape(12, N_DOF)
+        minv_jt = jnp.linalg.solve(m, jac.T)            # (18,12)
+        return jac @ minv_jt
+
+    def apply_test_force(self, q12, leg: int, force_base):
+        """Response to a test force at foot `leg` (reference applyTestForce,
+        FloatingBaseModel.cpp:961-1050): returns (delta_v_foot (3,),
+        delta_qd (18,)) per unit impulse — dv_foot = J_leg M^-1 J_leg^T f,
+        dqd = M^-1 J_leg^T f."""
+        m = self.mass_matrix(q12)
+        jac = self.contact_jacobians(q12)[leg]          # (3,18)
+        dqd = jnp.linalg.solve(m, jac.T @ force_base)
+        return jac @ dqd, dqd
+
+    # ------------------------------------------------- body-box contact set
+    def box_contact_points(self):
+        """(8,3) body-box corner contact points in base coordinates
+        (reference addGroundContactBoxPoints, FloatingBaseModel.cpp:360-376,
+        with dims (bodyLength, bodyWidth, bodyHeight), Quadruped.cpp:123-128)."""
+        r = self.robot
+        l, w, h = r.body_length, r.body_width, r.body_height
+        corners = np.array(
+            [[sx * l, sy * w, sz * h]
+             for sz in (1.0, -1.0) for sy in (1.0, -1.0) for sx in (1.0, -1.0)],
+            dtype=np.float32,
+        ) / 2.0
+        return jnp.asarray(corners)
+
+    def box_point_jacobians(self):
+        """(8,3,18) Jacobians of the box corner points (base body: base-rate
+        columns only — v_p = v_base + omega x p, no joint contribution)."""
+        pts = self.box_contact_points()
+        jacs = []
+        for k in range(8):
+            p = pts[k]
+            px = jnp.array(
+                [[0.0, -p[2], p[1]], [p[2], 0.0, -p[0]], [-p[1], p[0], 0.0]],
+                jnp.float32,
+            )
+            jac = jnp.zeros((3, N_DOF), jnp.float32)
+            jac = jac.at[:, 0:3].set(-px).at[:, 3:6].set(jnp.eye(3))
+            jacs.append(jac)
+        return jnp.stack(jacs)
+
+    def box_point_positions_world(self, base_p, r_body):
+        """(8,3) world positions of the box corners; r_body maps world->base
+        (StateEstimate.r_body convention)."""
+        pts = self.box_contact_points()
+        return base_p[None, :] + jnp.einsum("ij,ki->kj", r_body, pts)
