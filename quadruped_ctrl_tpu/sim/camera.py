@@ -76,3 +76,32 @@ def point_cloud(terrain: Terrain, base_p, base_quat, n_steps: int = 48):
     pts = eye[None, None, :] + depth[..., None] * dirs
     valid = (depth > NEAR) & (depth < FAR - 1e-3)
     return pts.reshape(-1, 3), valid.reshape(-1)
+
+
+def render_image(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
+                 light=(0.3, 0.2, 0.9)):
+    """(HEIGHT, WIDTH) uint8 mono image — the role of the reference's mono8
+    /cam0/image_raw topic (walking_simulation.py:287-299, 330-354, which
+    grayscales PyBullet's RGB render). TPU-native shading of the same
+    sphere-traced hit points: Lambertian terrain normal (finite-difference
+    of the height function) with inverse-distance attenuation; sky (no hit)
+    renders bright."""
+    depth, dirs, eye = render_depth(terrain, base_p, base_quat, n_steps)
+    pts = eye[None, None, :] + depth[..., None] * dirs        # (H,W,3)
+    eps = 0.05
+    hx1 = height_at(terrain, pts[..., 0] + eps, pts[..., 1])
+    hx0 = height_at(terrain, pts[..., 0] - eps, pts[..., 1])
+    hy1 = height_at(terrain, pts[..., 0], pts[..., 1] + eps)
+    hy0 = height_at(terrain, pts[..., 0], pts[..., 1] - eps)
+    n = jnp.stack(
+        [-(hx1 - hx0) / (2 * eps), -(hy1 - hy0) / (2 * eps),
+         jnp.ones_like(hx1)], axis=-1,
+    )
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    l = jnp.asarray(light, jnp.float32)
+    l = l / jnp.linalg.norm(l)
+    lambert = jnp.clip(jnp.einsum("hwi,i->hw", n, l), 0.0, 1.0)
+    atten = 1.0 / (1.0 + 0.15 * depth * depth)
+    hit = depth < FAR - 1e-3
+    shade = jnp.where(hit, 0.15 + 0.85 * lambert * atten, 0.92)
+    return (shade * 255.0).astype(jnp.uint8)

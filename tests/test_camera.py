@@ -44,3 +44,24 @@ def test_point_cloud_sees_stairs():
     ahead = pts[pts[:, 0] > 0.45]
     assert len(ahead) > 10
     assert ahead[:, 2].max() > 0.03  # the step is visible
+
+
+def test_render_image_mono8():
+    from quadruped_ctrl_tpu.sim import camera as cam
+
+    t = Terrain.slope(0.2)
+    img = cam.render_image(
+        t, jnp.array([0.0, 0.0, 0.3], jnp.float32),
+        jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
+    )
+    img = np.asarray(img)
+    assert img.shape == (cam.HEIGHT, cam.WIDTH) and img.dtype == np.uint8
+    # ground pixels are shaded darker than sky; both present in frame
+    assert int(img.max()) - int(img.min()) > 30
+    assert img.max() > 200
+    # jit-compatible
+    jimg = jax.jit(lambda t, p, q: cam.render_image(t, p, q))(
+        t, jnp.array([0.0, 0.0, 0.3], jnp.float32),
+        jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(jimg), img)
