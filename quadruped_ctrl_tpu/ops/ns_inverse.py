@@ -184,12 +184,19 @@ def _split(a):
 
 def _mm3(a_hi, a_lo, b):
     """bf16x3 matmul (XLA's Precision.HIGH, which Pallas doesn't expose):
-    3 MXU passes with f32 accumulation, ~1e-6 relative error."""
+    3 MXU passes with f32 accumulation, ~1e-6 relative error.
+
+    precision is pinned to DEFAULT: bf16 operands with an inherited HIGHEST
+    contract precision (e.g. under jax.default_matmul_precision("highest"))
+    are a Mosaic compile error ("Bad lhs type") — and single-pass IS the
+    point of the bf16 split."""
     b_hi, b_lo = _split(b)
     dn = (((1,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=jnp.float32)
-    acc += jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=jnp.float32)
+    kw = dict(precision=jax.lax.Precision.DEFAULT,
+              preferred_element_type=jnp.float32)
+    acc = jax.lax.dot_general(a_hi, b_hi, dn, **kw)
+    acc += jax.lax.dot_general(a_hi, b_lo, dn, **kw)
+    acc += jax.lax.dot_general(a_lo, b_hi, dn, **kw)
     return acc
 
 
