@@ -172,7 +172,16 @@ def cmd_scaling(args):
     rep = multihost.scaling_report(
         cfg, per_device_batch=args.per_device_batch, reps=args.reps
     )
-    print(json.dumps(rep))
+    if args.multiprocess:
+        rep["multiprocess"] = multihost.multiprocess_scaling(
+            num_processes=args.multiprocess,
+            per_device_batch=args.per_device_batch, reps=args.reps,
+        )
+    out = json.dumps(rep)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
     return 0
 
 
@@ -218,6 +227,10 @@ def main(argv=None):
     s = sub.add_parser("scaling", help="multi-device scaling-efficiency report")
     s.add_argument("--per-device-batch", type=int, default=256)
     s.add_argument("--reps", type=int, default=3)
+    s.add_argument("--multiprocess", type=int, default=0,
+                   help="also measure N-process jax.distributed weak scaling "
+                        "(CPU harness for the multi-host axis)")
+    s.add_argument("--out", default=None, help="also write the JSON here")
     s.add_argument("--config", default=None)
     s.set_defaults(fn=cmd_scaling)
 

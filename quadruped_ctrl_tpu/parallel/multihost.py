@@ -57,14 +57,87 @@ def _throughput(cfg: FrameworkConfig, n_devices: int, per_device_batch: int,
     return batch * reps / dt
 
 
+def multiprocess_scaling(num_processes: int = 2, devs_per_proc: int = 2,
+                         per_device_batch: int = 64, reps: int = 3,
+                         timeout_s: float = 540.0) -> dict:
+    """N-process weak-scaling efficiency via real `jax.distributed` CPU
+    processes (Gloo collectives — the cluster-free multi-host harness,
+    SURVEY.md §4 item 5). Launches 1-process and N-process runs of the same
+    sharded fast-path program and reports throughput + efficiency."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    def run_group(nproc: int, devs: int) -> float:
+        s = socket.socket()
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+        s.close()
+        with tempfile.TemporaryDirectory() as td:
+            out = os.path.join(td, "tput.json")
+            procs = []
+            for pid in range(nproc):
+                env = dict(os.environ)
+                env.pop("XLA_FLAGS", None)
+                env.pop("JAX_PLATFORMS", None)
+                env["PYTHONPATH"] = repo + os.pathsep + env.get(
+                    "PYTHONPATH", "")
+                procs.append(subprocess.Popen(
+                    [sys.executable, "-m",
+                     "quadruped_ctrl_tpu.parallel._throughput_worker",
+                     str(pid), str(nproc), str(port), str(devs),
+                     str(per_device_batch), str(reps), out],
+                    cwd=repo, env=env,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                ))
+            for p in procs:
+                p.wait(timeout=timeout_s)
+                if p.returncode != 0:
+                    raise RuntimeError(
+                        f"worker exited {p.returncode} (nproc={nproc})")
+            with open(out) as f:
+                return json.load(f)["solves_per_s"]
+
+    # Same GLOBAL mesh (num_processes * devs_per_proc devices) and same
+    # global batch both times; only the process split differs. On this
+    # shared-core CPU harness that isolates the cross-process collective
+    # overhead (the DCN-role cost), which is the axis virtual devices CAN
+    # measure — raw weak scaling cannot be (all virtual devices share the
+    # same physical cores).
+    t1 = run_group(1, num_processes * devs_per_proc)
+    tn = run_group(num_processes, devs_per_proc)
+    return {
+        "processes": num_processes,
+        "devices_per_process": devs_per_proc,
+        "global_devices": num_processes * devs_per_proc,
+        "solves_per_s_single_process": round(t1, 1),
+        "solves_per_s_multi_process": round(tn, 1),
+        "cross_process_efficiency": round(tn / t1, 4),
+    }
+
+
 def scaling_report(cfg: FrameworkConfig, device_counts=None,
                    per_device_batch: int = 256, h: int = 10,
                    reps: int = 3) -> dict:
-    """Weak-scaling efficiency across device counts.
+    """Scaling report across device counts.
 
-    Efficiency(n) = throughput(n) / (n * throughput(1)). On this machine the
-    axes available are whatever jax.devices() exposes (virtual CPU devices in
-    tests, one real chip under the tunnel, a pod slice in production).
+    Two efficiencies per row:
+    * `sharding_efficiency` — throughput of the batch sharded over n devices
+      vs the SAME total batch on one device. This isolates the partitioning
+      + collective overhead, and is meaningful on ANY backend (on the
+      virtual-CPU test mesh all devices share the same physical cores, so
+      compute capacity does not grow with n and this is the measurable
+      axis).
+    * `weak_efficiency` — throughput(n) / (n * throughput(1)) at fixed
+      per-device batch: the BASELINE.md ">=85% at 2 hosts" number. Only
+      meaningful when devices are real (a pod slice); reported for
+      completeness and labeled by `backend`.
     """
     n_avail = len(jax.devices())
     if device_counts is None:
@@ -73,17 +146,22 @@ def scaling_report(cfg: FrameworkConfig, device_counts=None,
     rows = []
     for n in device_counts:
         tput = _throughput(cfg, n, per_device_batch, h, reps)
+        tput_1dev = (tput if n == 1
+                     else _throughput(cfg, 1, n * per_device_batch, h, reps))
         if base is None:
             base = tput
         rows.append(
             {
                 "devices": n,
                 "solves_per_s": round(tput, 1),
-                "efficiency": round(tput / (base * n), 4),
+                "sharding_efficiency": round(tput / tput_1dev, 4),
+                "weak_efficiency": round(tput / (base * n), 4),
             }
         )
     return {
         "metric": "mpc_scaling",
+        "backend": jax.default_backend(),
+        "shared_core_virtual_devices": jax.default_backend() == "cpu",
         "per_device_batch": per_device_batch,
         "horizon": h,
         "rows": rows,

@@ -46,5 +46,7 @@ def test_scaling_report_runs():
         CFG, device_counts=[1, 2], per_device_batch=4, h=H, reps=1
     )
     assert len(rep["rows"]) == 2
-    assert rep["rows"][0]["efficiency"] == 1.0
+    assert rep["rows"][0]["weak_efficiency"] == 1.0
+    assert rep["rows"][0]["sharding_efficiency"] == 1.0
     assert rep["rows"][1]["solves_per_s"] > 0
+    assert rep["rows"][1]["sharding_efficiency"] > 0
