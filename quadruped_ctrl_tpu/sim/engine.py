@@ -89,7 +89,16 @@ def sensors_from_sim(cfg: FrameworkConfig, sim: SimState) -> Sensors:
         jnp.einsum("ij,fj->fi", r_inv, sim.foot_vel - sim.v[None, :])
         - jnp.cross(jnp.broadcast_to(sim.omega_body, (4, 3)), hips + p_leg)
     )
-    qd = jnp.linalg.solve(jac, v_leg[..., None])[..., 0]
+    # damped least-squares J qd = v: the plain solve is singular at knee
+    # full extension (the reference's analytic IK clamps its asin/D inputs
+    # for the same reason, LegController.cpp:255-287). lambda=1e-3 is
+    # invisible at nominal configurations (relative error ~lambda^2/sigma^2)
+    # and bounds qd near the singularity instead of emitting inf/NaN.
+    lam2 = jnp.asarray(1e-6, jnp.float32)
+    jjt = jnp.einsum("fij,fkj->fik", jac, jac) + lam2 * jnp.eye(3)[None]
+    qd = jnp.einsum(
+        "fji,fj->fi", jac, jnp.linalg.solve(jjt, v_leg[..., None])[..., 0]
+    )
 
     quat_xyzw = jnp.stack([sim.quat[1], sim.quat[2], sim.quat[3], sim.quat[0]])
     return Sensors(

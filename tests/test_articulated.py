@@ -48,3 +48,30 @@ def test_articulated_stand_and_trot():
     # torques respect actuator-scale limits
     tau = np.asarray(traj["tau"])
     assert np.abs(tau).max() < 30.0
+
+
+def test_sensors_qd_bounded_at_singular_leg():
+    """Near knee full extension the leg Jacobian is singular; the damped
+    solve must return bounded joint velocities, not inf/NaN (the reference
+    clamps its IK inputs for the same reason, LegController.cpp:255-287)."""
+    import jax.numpy as jnp
+
+    from quadruped_ctrl_tpu.sim import engine
+    from quadruped_ctrl_tpu.models import leg_kinematics as lk
+
+    cfg = CFG
+    sim = engine.sim_init(cfg, Terrain.plane())
+    # stretch all legs straight down (q = 0 -> knee fully extended)
+    q = jnp.zeros((4, 3), jnp.float32)
+    foot_hip = lk.leg_fk(cfg.robot, q)
+    hips = jnp.asarray(cfg.robot.hip_locations())
+    foot_w = sim.p[None, :] + hips + foot_hip
+    sim = sim.replace(
+        foot_pos=foot_w,
+        foot_vel=jnp.full((4, 3), 0.5, jnp.float32),  # moving feet
+        p=sim.p + jnp.array([0.0, 0.0, 0.05], jnp.float32),
+    )
+    sens = engine.sensors_from_sim(cfg, sim)
+    qd = np.asarray(sens.qd)
+    assert np.isfinite(qd).all()
+    assert np.abs(qd).max() < 1e4
