@@ -94,12 +94,15 @@ def cmd_sim(args):
 
 
 def cmd_sweep(args):
+    import os
+
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from quadruped_ctrl_tpu.core.types import Command
     from quadruped_ctrl_tpu.sim import batch_rollout as br
+    from quadruped_ctrl_tpu.utils import checkpoint
     from quadruped_ctrl_tpu.utils.metrics import MetricsLogger
     from quadruped_ctrl_tpu.utils.timer import Timer
 
@@ -118,22 +121,48 @@ def cmd_sweep(args):
         cfg, (0.0, args.vx_max), (-0.3, 0.3), (-0.5, 0.5),
         [GAITS[g] for g in args.gaits.split(",")], args.batch, key,
     )
+    ckpt = args.checkpoint
+    if ckpt and not ckpt.endswith(".npz"):
+        ckpt += ".npz"
+    every = args.checkpoint_every or args.macros
+    example = {"states": states, "sims": sims,
+               "done": jnp.zeros((), jnp.int32)}
+
     # h_sol=10: the mode-1 stand phase runs the aio standing band (h=10) and
     # the mode-0 sweep keeps the sticky horizonLength 10 (see
     # LocomotionState.mpc_h) — so the 120-var packed KKT systems fit the
     # 128 Pallas tile. Raise via --h-sol for custom mode-1 sweeps.
     timer = Timer()
-    states, sims, _ = br.batch_rollout(
-        cfg, states, sims, stand, terr, 16, h_sol=args.h_sol
-    )
-    states, sims, recs = br.batch_rollout(
-        cfg, states, sims, cmds, terr, args.macros, h_sol=args.h_sol
-    )
-    import numpy as np
-
-    p = np.asarray(recs["p"])
-    safety = np.asarray(recs["safety"])[-1]
-    upright = p[-1, :, 2] > 0.12
+    done = 0
+    if ckpt and os.path.exists(ckpt):
+        payload = checkpoint.load(ckpt, example)
+        states, sims = payload["states"], payload["sims"]
+        done = int(payload["done"])
+        print(f"# resumed {ckpt} at macro {done}/{args.macros}")
+    else:
+        states, sims, _ = br.batch_rollout(
+            cfg, states, sims, stand, terr, 16, h_sol=args.h_sol
+        )
+    recs = None
+    while done < args.macros:
+        n = min(every, args.macros - done)
+        states, sims, recs = br.batch_rollout(
+            cfg, states, sims, cmds, terr, n, h_sol=args.h_sol,
+            cont=done > 0,
+        )
+        done += n
+        if ckpt:
+            checkpoint.save(
+                ckpt, {"states": states, "sims": sims,
+                       "done": jnp.asarray(done, jnp.int32)}
+            )
+    if recs is not None:
+        p_final = np.asarray(recs["p"])[-1]
+        safety = np.asarray(recs["safety"])[-1]
+    else:  # resumed at done == macros: read the checkpointed final state
+        p_final = np.asarray(sims.p)
+        safety = np.asarray(states.core.safety_ok)
+    upright = p_final[:, 2] > 0.12
     wall = timer.get_seconds()
     ticks = (16 + args.macros) * cfg.mpc.iterations_between_mpc
     m = {
@@ -216,6 +245,13 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--config", default=None)
     s.add_argument("--log", default=None)
+    s.add_argument("--checkpoint", default=None,
+                   help="save/resume the (controller, sim) pytree here after "
+                        "every --checkpoint-every macros; if the file exists "
+                        "the sweep resumes from it (100k-scenario stretch "
+                        "sweeps survive preemption)")
+    s.add_argument("--checkpoint-every", type=int, default=0,
+                   help="macro-steps between checkpoints (0 = only at end)")
     s.set_defaults(fn=cmd_sweep)
 
     s = sub.add_parser("bench", help="MPC solves/s benchmark")

@@ -78,7 +78,7 @@ def batch_init(cfg: FrameworkConfig, terrains: Terrain, batch: int):
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "n_macro", "mpc_iterations", "h_sol"))
+         static_argnames=("cfg", "n_macro", "mpc_iterations", "h_sol", "cont"))
 def batch_rollout(
     cfg: FrameworkConfig,
     states,                 # batched FullControllerState
@@ -88,10 +88,16 @@ def batch_rollout(
     n_macro: int,
     mpc_iterations: int | None = None,
     h_sol: int | None = None,
+    cont: bool = False,
 ):
     """Run n_macro macro-steps (13 ticks each). Returns
     (states, sims, per-macro records). `h_sol` is the static solved MPC
-    horizon (see mpc_update_batched; default cfg.mpc.h_max is always safe)."""
+    horizon (see mpc_update_batched; default cfg.mpc.h_max is always safe).
+
+    `cont=True` continues a rollout previously advanced by this function:
+    the KF warmup and the pre-first-MPC prologue are skipped so the 13-tick
+    MPC cadence is preserved across chunk boundaries — the basis for
+    checkpointed long sweeps (resume-identical, see test_sweep_checkpoint)."""
     ib = cfg.mpc.iterations_between_mpc
 
     def warm(carry, _):
@@ -104,8 +110,6 @@ def batch_rollout(
         states = jax.vmap(one)(states, sims)
         return (states, sims), None
 
-    (states, sims), _ = lax.scan(warm, (states, sims), None, length=WARMUP_TICKS)
-
     def plain_tick(carry, _):
         states, sims = carry
 
@@ -116,8 +120,12 @@ def batch_rollout(
         states, sims = jax.vmap(one)(states, sims, commands, terrains)
         return (states, sims), None
 
-    # prologue: ticks 0..ib-2 run without MPC (first solve at tick ib-1)
-    (states, sims), _ = lax.scan(plain_tick, (states, sims), None, length=ib - 1)
+    if not cont:
+        (states, sims), _ = lax.scan(warm, (states, sims), None,
+                                     length=WARMUP_TICKS)
+        # prologue: ticks 0..ib-2 run without MPC (first solve at tick ib-1)
+        (states, sims), _ = lax.scan(plain_tick, (states, sims), None,
+                                     length=ib - 1)
 
     def macro(carry, _):
         states, sims = carry
