@@ -54,6 +54,19 @@ def load_config(path: str | None, overrides: dict | None = None):
     return default_config(**kv)
 
 
+def _trace_ctx(profile_dir: str | None):
+    """jax.profiler trace context (SURVEY.md §5 tracing: the TPU-native
+    replacement for the reference's ad-hoc Timer.h instrumentation). View
+    with TensorBoard or xprof on the written directory."""
+    import contextlib
+
+    if not profile_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.profiler.trace(profile_dir)
+
+
 def cmd_sim(args):
     import numpy as np
     import jax
@@ -78,7 +91,8 @@ def cmd_sim(args):
     cmd = Command.create(args.vx, args.vy, args.wz, gait_type=gait,
                          robot_mode=args.mode)
     timer = Timer()
-    _, sim, traj = R.run_session(cfg, terrain, cmd, n_ticks=args.ticks)
+    with _trace_ctx(args.profile):
+        _, sim, traj = R.run_session(cfg, terrain, cmd, n_ticks=args.ticks)
     wall = timer.get_seconds()
     m = tracking_metrics(traj, (args.vx, args.vy), cfg.control.body_height)
     m.update(
@@ -181,7 +195,8 @@ def cmd_sweep(args):
 def cmd_bench(args):
     import bench
 
-    bench.main()
+    with _trace_ctx(args.profile):
+        bench.main()
     return 0
 
 
@@ -231,6 +246,8 @@ def main(argv=None):
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--config", default=None)
     s.add_argument("--log", default=None)
+    s.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
     s.set_defaults(fn=cmd_sim)
 
     s = sub.add_parser("sweep", help="batched scenario sweep")
@@ -255,6 +272,8 @@ def main(argv=None):
     s.set_defaults(fn=cmd_sweep)
 
     s = sub.add_parser("bench", help="MPC solves/s benchmark")
+    s.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
     s.set_defaults(fn=cmd_bench)
 
     s = sub.add_parser("latency", help="control-cycle latency benchmark")

@@ -77,3 +77,18 @@ def test_metrics_logger(tmp_path):
     MetricsLogger(str(path)).log({"a": 1.5})
     rec = json.loads(path.read_text().strip())
     assert rec["a"] == 1.5 and "t" in rec
+
+
+def test_cli_sim_profile_trace(tmp_path):
+    """`cli sim --profile DIR` captures a jax.profiler trace (SURVEY.md §5
+    tracing — the replacement for the reference's Timer.h instrumentation)."""
+    from quadruped_ctrl_tpu import cli
+
+    prof = tmp_path / "trace"
+    rc = cli.main([
+        "sim", "--gait", "trot", "--terrain", "plane", "--vx", "0.3",
+        "--ticks", "40", "--profile", str(prof),
+    ])
+    assert rc == 0
+    files = list(prof.rglob("*.xplane.pb"))
+    assert files, "no profiler trace written"
