@@ -22,6 +22,14 @@ import os
 import time
 
 import jax
+
+# persistent XLA compilation cache: the single-robot step is one large
+# program (~3 min cold compile through the remote tunnel); cached reruns
+# skip straight to measurement
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np
 
 from quadruped_ctrl_tpu.config import default_config

@@ -117,7 +117,16 @@ class SolverConfig:
                                   # zeros-init degenerates to a cold start,
                                   # and the acceptance gate + polish cover
                                   # the first (cold) solve of a session
-    polish_rounds: int = 4        # active-set polish solves after ADMM
+    polish_rounds: int = 3        # active-set polish solves after ADMM.
+                                  # Each round is a cold KKT factorization
+                                  # (half the cold-pipeline cost at 4 rounds).
+                                  # Measured: on the 18-case hard battery vs
+                                  # the f64 oracle rounds 3 and 4 are
+                                  # identical (0.044 N worst); at 2 rounds a
+                                  # random-scenario pipeline case misses the
+                                  # oracle by 2.4 N (wrong active set), so 3
+                                  # is the floor (was 4; ~+15% cold
+                                  # throughput, all oracle/golden gates pass)
     rho_adapt: int = 1            # OSQP-style adaptive-rho events inside the
                                   # iterate phase: the iterations are split
                                   # into rho_adapt+1 equal segments, and at
@@ -140,6 +149,17 @@ class SolverConfig:
     ns_quad_iters: int = 2
     ns_hi_iters: int = 2
     ns_a0: float = 1e-5
+    # Short schedule for the ADMM-phase factorizations only (cold + adaptive
+    # rho): with rho=30 on the force-normalized problem the Jacobi-scaled
+    # iterate-phase K is superbly conditioned — measured worst cond 14 at
+    # rho x1 and 213 at the adaptive clip floor (rho x0.1) over the hard
+    # battery — so 6 scaled iterations from a0=5e-4 (~10x margin, verified
+    # to the refinement floor at cond 2e3 in test_pallas_kernels) reach the
+    # quadratic phase. Polish-round K (w_act=1e4 on the active set) can hit
+    # cond ~1e5+ and keeps the full ns_scaled_iters/ns_a0 schedule above
+    # (its solves also carry iterative refinement).
+    ns_admm_a0: float = 5e-4
+    ns_admm_scaled_iters: int = 6
     # ADMM iterate precision split (TPU batched path): all but the last
     # f32_tail_iters iterations solve against a bf16 copy of the KKT inverse
     # (halves the HBM stream that dominates the iterate phase); the f32 tail

@@ -360,14 +360,22 @@ def admm_mpc(
 # (ops/ns_inverse.py): ~1.5x on the dominant phase, and higher accuracy
 # (in-kernel HIGHEST matmuls reach resid ~3e-7 vs ~5e-6).
 
-def _batched_solver(k, cfg: SolverConfig, use_pallas: bool):
+def _batched_solver(k, cfg: SolverConfig, use_pallas: bool, schedule=None):
     """k: (B,n,n) SPD -> solve(b_vec (B,n)) -> (B,n), Jacobi-prescaled with
     iterative refinement. The Pallas path runs the scaled mixed-precision
-    schedule (13 iterations ~= 25 plain HIGHEST ones, 2x faster)."""
+    schedule (13 iterations ~= 25 plain HIGHEST ones, 2x faster).
+
+    `schedule` is an optional (a0, n_scaled, n_quad, n_hi) override for the
+    Pallas NS schedule; default is the full (polish-grade) schedule from cfg.
+    ADMM-phase factorizations pass the short cfg.ns_admm_* schedule (their
+    Jacobi-scaled K has measured cond <= ~213, see config.py)."""
     n = k.shape[-1]
     d = lax.rsqrt(jnp.maximum(jnp.diagonal(k, axis1=-2, axis2=-1), 1e-30))
     ks = k * d[:, :, None] * d[:, None, :]
     inv_padded = None
+    if schedule is None:
+        schedule = (cfg.ns_a0, cfg.ns_scaled_iters, cfg.ns_quad_iters,
+                    cfg.ns_hi_iters)
     if use_pallas:
         from quadruped_ctrl_tpu.ops import ns_inverse as NI
 
@@ -380,10 +388,7 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool):
                 [ksp, jnp.broadcast_to(jnp.eye(npad, dtype=jnp.float32),
                                        (pad_b, npad, npad))], axis=0
             )
-        inv_padded = NI.ns_inverse_pallas_scaled(
-            ksp, cfg.ns_a0, cfg.ns_scaled_iters, cfg.ns_quad_iters,
-            cfg.ns_hi_iters,
-        )[:b]
+        inv_padded = NI.ns_inverse_pallas_scaled(ksp, *schedule)[:b]
         inv = inv_padded[:, :n, :n]
     else:
         inv = jax.vmap(lambda m: _ns_inverse(m, cfg.ns_iters))(ks)
@@ -534,14 +539,17 @@ def admm_mpc_batched(
     eye = jnp.eye(n, dtype=dtype)
     sel = jnp.eye(h * nf, dtype=dtype)
 
-    def build_solver(w):
+    admm_schedule = (cfg.ns_admm_a0, cfg.ns_admm_scaled_iters,
+                     cfg.ns_quad_iters, cfg.ns_hi_iters)
+
+    def build_solver(w, schedule=None):
         gram = formation.pyramid_gram(cfg_mpc, w.reshape(bsz, h, nf, 5))
         gram = gram.reshape(bsz, h * nf, 3, 3)
         delta = (
             gram[:, :, :, None, :] * sel[None, :, None, :, None]
         ).reshape(bsz, n, n)
         k = hess_n + cfg.sigma * eye[None] + delta
-        return _batched_solver(k, cfg, use_pallas)
+        return _batched_solver(k, cfg, use_pallas, schedule=schedule)
 
     def apply_a(v):
         return formation.pyramid_apply(
@@ -557,7 +565,7 @@ def admm_mpc_batched(
     alpha = cfg.over_relax_alpha
     sigma = cfg.sigma
     inv_rho = 1.0 / rho
-    solve0 = build_solver(rho)
+    solve0 = build_solver(rho, schedule=admm_schedule)
 
     if use_pallas and solve0.inv_padded is not None:
         # Tile-aligned iterate phase (profiled on v5e): the bf16 inverse
@@ -655,7 +663,7 @@ def admm_mpc_batched(
                 fac = _adapt_rho_factor(cfg, ax, zs[:, :m], hx, grad_n, aty)
                 rhoP = jnp.ones((bsz, mp_), dtype).at[:, :m].set(
                     rho * fac[:, None])
-                solve_s = build_solver(rhoP[:, :m])
+                solve_s = build_solver(rhoP[:, :m], schedule=admm_schedule)
                 inv_fullp, inv16p = padded_inverse(solve_s)
         xp, zp, yp = carry
         x = xp[:, :n]
@@ -709,7 +717,7 @@ def admm_mpc_batched(
                 fac = _adapt_rho_factor(cfg, apply_a(xs), zs, hx, grad_n,
                                         apply_at(ys))
                 rho_c = rho * fac[:, None]
-                solve_c = build_solver(rho_c)
+                solve_c = build_solver(rho_c, schedule=admm_schedule)
         x, z, y = carry
 
     warm_out = (x, z, y)          # pre-polish fixed-point iterate, normalized

@@ -139,3 +139,25 @@ def test_fused_admm_kernel_interpret():
     x_k = np.asarray(x_k)[:, :n] * f_scale
     assert np.isfinite(x_k).all()
     np.testing.assert_allclose(x_k, x_xla, atol=0.5)
+
+
+def test_short_admm_schedule_at_design_cond():
+    """The ADMM-phase factorizations run a shortened NS schedule
+    (cfg.solver.ns_admm_*, see config.py): it must reach the refinement
+    floor at 10x the measured worst iterate-phase condition number (213 at
+    the adaptive-rho clip floor)."""
+    from quadruped_ctrl_tpu.config import default_config
+
+    cfg = default_config().solver
+    ks = _spd_batch(3, NI.G, 120, 128, cond=2.1e3)
+    inv = np.asarray(
+        NI.ns_inverse_pallas_scaled(
+            ks, cfg.ns_admm_a0, cfg.ns_admm_scaled_iters,
+            cfg.ns_quad_iters, cfg.ns_hi_iters, interpret=INTERPRET,
+        )
+    )
+    eye = np.eye(128, dtype=np.float32)
+    resid = np.abs(np.asarray(ks) @ inv - eye).max()
+    # ADMM tolerates an inexact KKT solve (fixed-point iteration); 1e-2
+    # keeps an order of magnitude under the splitting's own contraction
+    assert resid < 1e-2, resid
