@@ -93,6 +93,10 @@ def main():
                                               polish_rounds=0),
         inputs, n_reps,
     )
+    t_form_meas = timed(
+        lambda i: pipeline.solve_packed_batch(cfg, i, form_only=True),
+        inputs, n_reps,
+    )
 
     # ---- analytic per-phase FLOP/byte models (per full batch) ----
     ms, pack = 2, 2                     # stance compression + pair packing
@@ -125,16 +129,11 @@ def main():
     bytes_pol = polish * sysN * 3 * npad * npad * 4
 
     t_iter = max(t_nopol - t_form_fact, 1e-9)
-    # the differenced "formation+factorize" bucket: split by the analytic
-    # byte ratio (both are far from their bounds individually; the split is
-    # reported, the bucket time is what was measured)
-    t_pol_meas = max(t_full - t_nopol, 1e-9)
-    fact_frac = bytes_fact / max(bytes_fact + bytes_form, 1)
-    t_fact = t_form_fact * fact_frac
-    t_form = t_form_fact - t_fact
-    # the polish bucket also contains polish-round factorizations; move that
-    # share into factorize for honest accounting
-    t_pol = t_pol_meas
+    # formation is measured directly (form_only); factorize is the remainder
+    # of the measured formation+factorize bucket
+    t_form = t_form_meas
+    t_fact = max(t_form_fact - t_form, 1e-9)
+    t_pol = max(t_full - t_nopol, 1e-9)
 
     def phase(name, t, flops, bts, bound):
         attained = (flops / 1e12 / t / PEAK_F32_TFLOPS if bound == "mxu-f32"

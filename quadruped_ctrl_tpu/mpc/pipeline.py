@@ -136,7 +136,8 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
                        max_stance: int = 2, pack: int = 2,
                        h: int | None = None, iterations: int | None = None,
                        polish_rounds: int | None = None,
-                       use_fused: bool | None = None):
+                       use_fused: bool | None = None,
+                       form_only: bool = False):
     """Stance-compressed + pair-packed batched solve.
 
     Two (or `pack`) compressed scenarios are packed into one block-diagonal
@@ -167,6 +168,12 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
 
     hess, grad, gait_red, foot_idx = jax.vmap(form_one)(inputs)
     n_c = hess.shape[-1]
+    if form_only:
+        # benchmark support: formation-phase timing without the solve (the
+        # returned "forces" depend on every formed quantity so nothing is
+        # elided, but no KKT factorization/iteration runs)
+        probe = (jnp.sum(hess, axis=(1, 2)) + jnp.sum(grad, axis=1)) * 1e-12
+        return jnp.broadcast_to(probe[:, None, None, None], (b, h, 4, 3))
 
     # pack `pack` scenarios block-diagonally
     hp = hess.reshape(b // pack, pack, n_c, n_c)

@@ -448,7 +448,14 @@ def admm_mpc_fused(
     from quadruped_ctrl_tpu.ops import fused_admm as FA
 
     n_iter = cfg.iterations if iterations is None else iterations
-    polish_rounds = cfg.polish_rounds if polish_rounds is None else polish_rounds
+    if polish_rounds is None:
+        # the in-kernel ADMM phase rounds differently from the XLA path's
+        # bf16-streamed iterate (full-HIGHEST matvecs, no f32 tail split);
+        # its active-set seeds occasionally need one extra polish round to
+        # land the knife-edge rows the XLA path's seed resolves in
+        # cfg.polish_rounds (measured: 2/64 random scenarios at 17 N without
+        # it, all within the oracle gate with it)
+        polish_rounds = cfg.polish_rounds + 1
     bsz, h, nf = gait_table.shape
     n = 3 * nf * h
     m = 5 * nf * h
