@@ -229,7 +229,31 @@ def cmd_scaling(args):
     return 0
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache for all CLI entry points: the
+    batched rollout programs compile in minutes through a remote-tunnel
+    backend; cached reruns skip straight to execution. Location override:
+    QCT_COMPILE_CACHE (empty string disables)."""
+    import os
+
+    path = os.environ.get(
+        "QCT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "quadruped_ctrl_tpu", "jax"),
+    )
+    if not path:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(prog="quadruped_ctrl_tpu")
     sub = ap.add_subparsers(dest="command", required=True)
 

@@ -147,7 +147,14 @@ class SolverConfig:
     # and the worst-case spectrum lower bound the mu schedule assumes.
     ns_scaled_iters: int = 9
     ns_quad_iters: int = 2
-    ns_hi_iters: int = 2
+    ns_hi_iters: int = 1          # HIGHEST tail: measured in interpret mode,
+                                  # a second HIGHEST squaring does not move
+                                  # the residual floor (1.6e-4 at cond 1e4,
+                                  # 1.2e-3 at 1e5 — limited by the bf16x3
+                                  # phases), and the tail is 6 MXU passes per
+                                  # iteration vs 3; one iteration saves ~13%
+                                  # of every factorization. Downstream solves
+                                  # carry iterative refinement (error ~r^3).
     ns_a0: float = 1e-5
     # Short schedule for the ADMM-phase factorizations only (cold + adaptive
     # rho): with rho=30 on the force-normalized problem the Jacobi-scaled
