@@ -50,10 +50,10 @@ def main():
     @jax.jit
     def step(state, sim):
         sensors = engine.sensors_from_sim(cfg, sim)
-        state, out = ctrl.controller_step(
-            cfg, state, sensors, cmd,
-            mpc_iterations=cfg.solver.warm_iterations,
-        )
+        # mpc_iterations=None -> runtime warm/cold budget selection
+        # (controller.mpc_update): steady-state ticks run the reduced
+        # warm_iterations, exactly as in deployment
+        state, out = ctrl.controller_step(cfg, state, sensors, cmd)
         sim = engine.sim_step(cfg, sim, out, terrain)
         return state, sim, out.tau
 

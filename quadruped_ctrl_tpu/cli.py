@@ -120,6 +120,8 @@ def cmd_sweep(args):
     from quadruped_ctrl_tpu.utils.metrics import MetricsLogger
     from quadruped_ctrl_tpu.utils.timer import Timer
 
+    from quadruped_ctrl_tpu.gait import gait as gait_mod
+
     cfg = load_config(args.config)
     key = jax.random.PRNGKey(args.seed)
     kinds = tuple(args.terrains.split(","))
@@ -131,16 +133,32 @@ def cmd_sweep(args):
         gait_type=jnp.full((args.batch,), 9, jnp.int32),
         robot_mode=jnp.ones((args.batch,), jnp.int32),
     )
+    gait_list = [GAITS[g] for g in args.gaits.split(",")]
     cmds = br.sweep_commands(
         cfg, (0.0, args.vx_max), (-0.3, 0.3), (-0.5, 0.5),
-        [GAITS[g] for g in args.gaits.split(",")], args.batch, key,
+        gait_list, args.batch, key,
     )
+    # stance compression + pair packing (the bench pipeline's solve shape,
+    # controller._mpc_update_batched_packed) whenever the static gait list
+    # guarantees the bound; 2-stance gaits (trot family) get the full 8x
+    # factorization shrink. The mode-1 stand phase is 4-stance (aio standing
+    # band) and always solves uncompressed.
+    max_stance = gait_mod.max_simultaneous_stance(gait_list)
+    max_stance = None if (args.no_compress or max_stance >= 4) else max_stance
     ckpt = args.checkpoint
     if ckpt and not ckpt.endswith(".npz"):
         ckpt += ".npz"
     every = args.checkpoint_every or args.macros
     example = {"states": states, "sims": sims,
-               "done": jnp.zeros((), jnp.int32)}
+               "done": jnp.zeros((), jnp.int32),
+               "wall": jnp.zeros((), jnp.float64)}
+    # resume guard: a checkpoint written under different sweep parameters
+    # (seed/terrains/gaits/config) would silently continue the wrong run
+    fingerprint = {
+        "seed": args.seed, "terrains": args.terrains, "gaits": args.gaits,
+        "batch": args.batch, "vx_max": args.vx_max, "h_sol": args.h_sol,
+        "config": repr(cfg),
+    }
 
     # h_sol=10: the mode-1 stand phase runs the aio standing band (h=10) and
     # the mode-0 sweep keeps the sticky horizonLength 10 (see
@@ -148,10 +166,12 @@ def cmd_sweep(args):
     # 128 Pallas tile. Raise via --h-sol for custom mode-1 sweeps.
     timer = Timer()
     done = 0
+    prev_wall = 0.0
     if ckpt and os.path.exists(ckpt):
-        payload = checkpoint.load(ckpt, example)
+        payload = checkpoint.load(ckpt, example, fingerprint=fingerprint)
         states, sims = payload["states"], payload["sims"]
         done = int(payload["done"])
+        prev_wall = float(payload["wall"])
         print(f"# resumed {ckpt} at macro {done}/{args.macros}")
     else:
         states, sims, _ = br.batch_rollout(
@@ -162,13 +182,16 @@ def cmd_sweep(args):
         n = min(every, args.macros - done)
         states, sims, recs = br.batch_rollout(
             cfg, states, sims, cmds, terr, n, h_sol=args.h_sol,
-            cont=done > 0,
+            cont=done > 0, max_stance=max_stance,
         )
         done += n
         if ckpt:
             checkpoint.save(
                 ckpt, {"states": states, "sims": sims,
-                       "done": jnp.asarray(done, jnp.int32)}
+                       "done": jnp.asarray(done, jnp.int32),
+                       "wall": jnp.asarray(
+                           prev_wall + timer.get_seconds(), jnp.float64)},
+                fingerprint=fingerprint,
             )
     if recs is not None:
         p_final = np.asarray(recs["p"])[-1]
@@ -177,7 +200,9 @@ def cmd_sweep(args):
         p_final = np.asarray(sims.p)
         safety = np.asarray(states.core.safety_ok)
     upright = p_final[:, 2] > 0.12
-    wall = timer.get_seconds()
+    # wall/ticks cover the whole sweep including any previous (checkpointed)
+    # invocations, so robot_ticks_per_s stays honest across resumes
+    wall = prev_wall + timer.get_seconds()
     ticks = (16 + args.macros) * cfg.mpc.iterations_between_mpc
     m = {
         "batch": args.batch,
@@ -187,6 +212,7 @@ def cmd_sweep(args):
         "wall_seconds": wall,
         "robot_ticks_per_s": args.batch * ticks / wall,
         "terrains": args.terrains,
+        "max_stance": max_stance,
     }
     MetricsLogger(args.log, echo=True).log(m)
     return 0
@@ -293,6 +319,9 @@ def main(argv=None):
                         "sweeps survive preemption)")
     s.add_argument("--checkpoint-every", type=int, default=0,
                    help="macro-steps between checkpoints (0 = only at end)")
+    s.add_argument("--no-compress", action="store_true",
+                   help="disable stance compression + packing even when the "
+                        "gait list permits it (debug/ablation)")
     s.set_defaults(fn=cmd_sweep)
 
     s = sub.add_parser("bench", help="MPC solves/s benchmark")

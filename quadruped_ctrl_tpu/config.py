@@ -167,6 +167,21 @@ class SolverConfig:
     # (its solves also carry iterative refinement).
     ns_admm_a0: float = 5e-4
     ns_admm_scaled_iters: int = 6
+    # Warm-started NS (ops/ns_inverse.py:ns_inverse_pallas_warm): when a
+    # nearby factorization exists (polish rounds after the first, adaptive-
+    # rho refactorizations), its rescaled inverse seeds a short quadratic
+    # schedule — ns_warm_quad bf16x3 + ns_warm_hi HIGHEST iterations, ~40%
+    # of the cold schedule's MXU passes. An in-kernel per-system guard
+    # (residual >= ns_warm_guard, e.g. the active set changed on many rows)
+    # falls back to the full cold schedule, so accuracy never degrades.
+    ns_warm_quad: int = 3
+    ns_warm_hi: int = 1
+    ns_warm_guard: float = 0.5
+    # Dual-informed polish seeding: rows whose ADMM multiplier magnitude
+    # exceeds this (force-normalized units) join the initial active-set
+    # estimate alongside the z-proximity rows — a better round-0 active set
+    # lets a smaller polish_rounds reach the oracle. 0 disables (z-only).
+    polish_dual_seed_tol: float = 0.0
     # ADMM iterate precision split (TPU batched path): all but the last
     # f32_tail_iters iterations solve against a bf16 copy of the KKT inverse
     # (halves the HBM stream that dominates the iterate phase); the f32 tail

@@ -358,12 +358,12 @@ def control_tick(cfg: FrameworkConfig, state: FullControllerState,
     return state, ctx
 
 
-def _mpc_problem(cfg: FrameworkConfig, state: FullControllerState, ctx,
-                 h_sol: int):
-    """Per-scenario condensed-QP build (the formation half of solveDenseMPC,
-    ConvexMPCLocomotion.cpp:592-665): reference trajectory, x-drag, SRB
-    linearization + discretization, cost assembly over the first `h_sol`
-    table rows. Returns (hess, grad, table, wpd, x_comp)."""
+def _mpc_problem_parts(cfg: FrameworkConfig, state: FullControllerState, ctx,
+                       h_sol: int):
+    """Shared formation inputs for the (full or stance-compressed) QP build:
+    reference trajectory, x-drag, SRB linearization + discretization, step
+    mask and contact table over the first `h_sol` table rows
+    (solveDenseMPC's pre-cost half, ConvexMPCLocomotion.cpp:592-665)."""
     loco = state.core.locomotion
     se: StateEstimate = ctx["se"]
 
@@ -403,8 +403,37 @@ def _mpc_problem(cfg: FrameworkConfig, state: FullControllerState, ctx,
     # with the table from Gait::getMpcTable over the gait's _nIterations)
     step_mask = (jnp.arange(h_sol) < loco.mpc_h).astype(jnp.float32)
     table = ctx["mpc_table"][:h_sol] * step_mask[:, None]
+    return adt, bdt, x0, traj, step_mask, table, wpd, x_comp
+
+
+def _mpc_problem(cfg: FrameworkConfig, state: FullControllerState, ctx,
+                 h_sol: int):
+    """Per-scenario condensed-QP build (the formation half of solveDenseMPC,
+    ConvexMPCLocomotion.cpp:592-665). Returns (hess, grad, table, wpd,
+    x_comp)."""
+    adt, bdt, x0, traj, step_mask, table, wpd, x_comp = _mpc_problem_parts(
+        cfg, state, ctx, h_sol
+    )
     hess, grad = formation.qp_cost_nil(cfg.mpc, adt, bdt, x0, traj, step_mask)
     return hess, grad, table, wpd, x_comp
+
+
+def _mpc_problem_compressed(cfg: FrameworkConfig, state: FullControllerState,
+                            ctx, h_sol: int, max_stance: int):
+    """Stance-compressed QP build: the reference's swing-variable elimination
+    (SolverMPC.cpp:441-525) as a static-shape gather (formation.
+    compress_stance), producing (3*max_stance*h_sol)-variable systems.
+    Correct whenever every step of the gait table has <= max_stance stance
+    feet (see gait.max_simultaneous_stance). Returns
+    (hess, grad, foot_idx, gait_red, table, wpd, x_comp)."""
+    adt, bdt, x0, traj, step_mask, table, wpd, x_comp = _mpc_problem_parts(
+        cfg, state, ctx, h_sol
+    )
+    foot_idx, gait_red = formation.compress_stance(table, max_stance)
+    hess, grad = formation.qp_cost_compressed_nil(
+        cfg.mpc, adt, bdt, x0, traj, step_mask, foot_idx
+    )
+    return hess, grad, foot_idx, gait_red, table, wpd, x_comp
 
 
 @exact_matmuls
@@ -415,14 +444,39 @@ def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
     Reference: updateMPCIfNeeded + solveDenseMPC (ConvexMPCLocomotion.cpp:
     498-687). Only applied when ctx['mpc_due'] (callers either cond on it or
     run every 13th tick by construction).
+
+    With `iterations=None` the budget is picked at runtime: the reduced
+    `cfg.solver.warm_iterations` whenever the stored temporal warm-start
+    triple is live (every steady-state tick — consecutive solves are one
+    gait segment apart), the full cold `cfg.solver.iterations` on session
+    start and after a solver failure (where `_store_warm` resets the triple
+    to zeros). This is the qpOASES setToMPC hot-start economics
+    (SolverMPC.cpp:530-532) on the single-robot real-time path.
     """
     h_max = cfg.mpc.h_max
     hess, grad, table, wpd, x_comp = _mpc_problem(cfg, state, ctx, h_max)
     loco0 = state.core.locomotion
-    forces, warm = admm.admm_mpc(
-        cfg.solver, cfg.mpc, hess, grad, table, iterations=iterations,
-        warm=_warm_slices(loco0, h_max), return_warm=True,
-    )
+    warm_in = _warm_slices(loco0, h_max)
+    if iterations is None:
+        live = jnp.zeros((), jnp.bool_)
+        for w in warm_in:
+            live = live | jnp.any(w != 0)
+
+        def solve(n_it):
+            return lambda: admm.admm_mpc(
+                cfg.solver, cfg.mpc, hess, grad, table, iterations=n_it,
+                warm=warm_in, return_warm=True,
+            )
+
+        forces, warm = lax.cond(
+            live, solve(cfg.solver.warm_iterations),
+            solve(cfg.solver.iterations),
+        )
+    else:
+        forces, warm = admm.admm_mpc(
+            cfg.solver, cfg.mpc, hess, grad, table, iterations=iterations,
+            warm=warm_in, return_warm=True,
+        )
     forces = forces.reshape(h_max, 4, 3)
     ok = solution_ok(cfg, forces, table)
     loco = _accept_solution(cfg, loco0, ctx["se"], forces, table, ok=ok)
@@ -435,7 +489,9 @@ def mpc_update(cfg: FrameworkConfig, state: FullControllerState, ctx,
 def mpc_update_batched(cfg: FrameworkConfig, state: FullControllerState, ctx,
                        h_sol: int | None = None,
                        iterations: int | None = None,
-                       polish_rounds: int | None = None):
+                       polish_rounds: int | None = None,
+                       max_stance: int | None = None,
+                       pack: int = 2):
     """Batch-axis-explicit `mpc_update` — the closed-loop fast path.
 
     Semantically `jax.vmap(mpc_update)` (identical formation and splitting),
@@ -451,9 +507,23 @@ def mpc_update_batched(cfg: FrameworkConfig, state: FullControllerState, ctx,
     horizonLength is always 10 — see LocomotionState.mpc_h). A scenario
     whose mpc_h exceeds h_sol degrades gracefully to an h_sol-step MPC (the
     step mask truncates; shapes never change).
+
+    `max_stance` (static) enables the bench pipeline's stance compression +
+    block-diagonal packing (pipeline.solve_packed_batch): the reference's
+    swing-variable elimination, SolverMPC.cpp:441-525. It is CORRECT ONLY
+    when every scenario's gait table has <= max_stance stance feet per step
+    (gait.max_simultaneous_stance gives the bound for a static gait list);
+    a dropped stance foot would command zero force. None (default) solves
+    the full 12*h_sol-variable systems. `pack` scenarios (a divisor of the
+    batch) share one block-diagonal KKT system in the compressed path.
     """
     h_sol = cfg.mpc.h_max if h_sol is None else h_sol
     h_max = cfg.mpc.h_max
+    if max_stance is not None and max_stance < 4:
+        return _mpc_update_batched_packed(
+            cfg, state, ctx, h_sol, iterations, polish_rounds, max_stance,
+            pack,
+        )
     hess, grad, table, wpd, x_comp = jax.vmap(
         lambda s, c: _mpc_problem(cfg, s, c, h_sol)
     )(state, ctx)
@@ -473,6 +543,86 @@ def mpc_update_batched(cfg: FrameworkConfig, state: FullControllerState, ctx,
         return s.replace(core=s.core.replace(locomotion=loco))
 
     return jax.vmap(accept)(state, ctx["se"], forces, table, warm_out, wpd,
+                            x_comp)
+
+
+def _mpc_update_batched_packed(cfg: FrameworkConfig, state, ctx, h_sol: int,
+                               iterations, polish_rounds, max_stance: int,
+                               pack: int):
+    """The stance-compressed + pair-packed closed-loop solve: identical
+    formation inputs and ADMM splitting to the full path, with the solves
+    running on (pack * 3*max_stance*h_sol)-variable block-diagonal KKT
+    systems — exactly `pipeline.solve_packed_batch`'s shape (the flagship
+    bench), now fed by the live controller state. Warm-start triples are
+    stored in the full (h_max, 4, d) layout and gathered/scattered through
+    each tick's stance index map, so the temporal warm start survives the
+    table rolling one segment between solves."""
+    h_max = cfg.mpc.h_max
+    ms = max_stance
+    hess, grad, foot_idx, gait_red, table, wpd, x_comp = jax.vmap(
+        lambda s, c: _mpc_problem_compressed(cfg, s, c, h_sol, ms)
+    )(state, ctx)
+    b = hess.shape[0]
+    assert b % pack == 0, f"batch {b} not divisible by pack {pack}"
+    n_c = 3 * ms * h_sol
+    m_c = 5 * ms * h_sol
+
+    # gather the stored full-layout warm triples through this tick's stance
+    # map (swing-foot entries drop out; their forces/duals are ~0 anyway)
+    def gather_warm(loco, fi):
+        def g(wfull):
+            red = jnp.take_along_axis(wfull[:h_sol], fi[:, :, None], axis=1)
+            return red.reshape(-1)
+        return g(loco.mpc_warm_x), g(loco.mpc_warm_z), g(loco.mpc_warm_y)
+
+    wx, wz, wy = jax.vmap(
+        lambda s, fi: gather_warm(s.core.locomotion, fi)
+    )(state, foot_idx)
+
+    # pack `pack` scenarios block-diagonally (pipeline.solve_packed_batch)
+    hp = hess.reshape(b // pack, pack, n_c, n_c)
+    kp = jnp.zeros((b // pack, pack * n_c, pack * n_c), hess.dtype)
+    for j in range(pack):
+        kp = kp.at[:, j * n_c:(j + 1) * n_c, j * n_c:(j + 1) * n_c].set(
+            hp[:, j]
+        )
+    gp = grad.reshape(b // pack, pack * n_c)
+    gaitp = gait_red.reshape(b // pack, pack * h_sol, ms)
+    warm_p = (wx.reshape(b // pack, pack * n_c),
+              wz.reshape(b // pack, pack * m_c),
+              wy.reshape(b // pack, pack * m_c))
+
+    xp, warm_out = admm.admm_mpc_batched(
+        cfg.solver, cfg.mpc, kp, gp, gaitp,
+        iterations=iterations, polish_rounds=polish_rounds,
+        warm=warm_p, return_warm=True,
+    )
+    x_red = xp.reshape(b, n_c)
+    forces = jax.vmap(lambda xr, fi: formation.scatter_forces(xr, fi, h_sol))(
+        x_red, foot_idx
+    )
+
+    # scatter the solver's warm triple back to the full layout
+    wxo, wzo, wyo = warm_out
+    def scatter_warm(red, fi, d):
+        r = red.reshape(h_sol, ms, d)
+        full = jnp.zeros((h_sol, 4, d), jnp.float32)
+        return full.at[jnp.arange(h_sol)[:, None], fi].set(r).reshape(-1)
+
+    warm_full = jax.vmap(
+        lambda x_, z_, y_, fi: (scatter_warm(x_, fi, 3),
+                                scatter_warm(z_, fi, 5),
+                                scatter_warm(y_, fi, 5))
+    )(wxo.reshape(b, n_c), wzo.reshape(b, m_c), wyo.reshape(b, m_c), foot_idx)
+
+    def accept(s, se, f, t, w, wpd_i, xc):
+        ok = solution_ok(cfg, f, t)
+        loco = _accept_solution(cfg, s.core.locomotion, se, f, t, ok=ok)
+        loco = _store_warm(loco, w, h_sol, h_max, ok)
+        loco = loco.replace(world_position_desired=wpd_i, x_comp_integral=xc)
+        return s.replace(core=s.core.replace(locomotion=loco))
+
+    return jax.vmap(accept)(state, ctx["se"], forces, table, warm_full, wpd,
                             x_comp)
 
 

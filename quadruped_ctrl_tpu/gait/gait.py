@@ -54,6 +54,24 @@ def gait_table_arrays():
 _OFFS, _DURS, _HS = gait_table_arrays()
 
 
+def max_simultaneous_stance(gait_numbers) -> int:
+    """Worst-case stance feet in any MPC-table step across the given fixed
+    gaits (a host-side static property of the offset/duration tables): the
+    bound that makes `formation.compress_stance(table, max_stance)` an exact
+    swing-variable elimination for a sweep restricted to these gaits.
+    Trot/bounding/pacing/galloping/trot-running are 2; walking is 3;
+    pronking/standing/walking2 are 4 (no compression win)."""
+    worst = 0
+    for g in gait_numbers:
+        o, d = _GAIT_TABLE.get(int(g), _TROT)
+        h = _H
+        seg = np.arange(h)[:, None]                       # (h, 1)
+        prog = (seg - np.asarray(o)[None, :]) % h
+        stance = (prog < np.asarray(d)[None, :]).sum(axis=1)
+        worst = max(worst, int(stance.max()))
+    return worst
+
+
 def params_for_gait(gait_number) -> GaitParams:
     """Look up the fixed-gait parameters for a (traced) gait number."""
     g = jnp.clip(jnp.asarray(gait_number, jnp.int32), 0, 11)

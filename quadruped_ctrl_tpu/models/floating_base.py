@@ -12,9 +12,16 @@ src/Dynamics/Quadruped.cpp:117-206): a fixed 13-body kinematic tree (base +
 * forward dynamics qdd = M^-1 (tau - h) (the reference's runABA computes the
   same quantity by a different recursion; here CRBA+RNEA+solve keeps the
   whole computation batched MXU matmuls with static shapes),
-* rotor (gearbox) inertia as reflected inertia on the joint diagonal
-  (gear^2 * I_rotor_spin) — the standard approximation to the reference's
-  explicit rotor bodies, exact for the diagonal terms that dominate.
+* rotor (gearbox) handling as RIGID rotors + reflected spin inertia: each
+  rotor's full spatial inertia (mass 0.055 kg, transverse+spin rotational
+  inertia — axisymmetric about its spin axis, so constant in parent
+  coordinates) is folded into its parent body, and the geared spin term
+  gear^2 * I_spin is added on the joint diagonal. Versus the reference's
+  explicit geared rotor bodies (Quadruped.cpp:117-206, MiniCheetah.h:51-109)
+  this drops ONLY the gear^1 gyroscopic coupling terms (magnitude
+  gear * I_spin ~ 6e-4, quantified in tests/test_dynamics_golden.py against
+  the compiled reference's rotor-exact CRBA/ABA); mass (8.91 kg total,
+  matching the MPC's 9 kg SRB) and all static inertia terms are exact.
 
 Velocity convention: `base_vel` is the base's spatial velocity [omega; v] in
 BASE coordinates; q (12,) joint angles in the leg_kinematics convention
@@ -65,7 +72,12 @@ class MiniCheetahModel:
             )
         ]
         abad_i = np.array([[381, 58, 0.45], [58, 560, 0.95], [0.45, 0.95, 444]]) * 1e-6
-        hip_i = np.array([[1983, 245, 13], [245, 2103, 1.5], [13, 1.5, 408]]) * 1e-6
+        # The reference expresses the hip body in a Rz(pi)-rotated frame
+        # (xtreeHip, Quadruped.cpp:168-171); this model keeps all leg frames
+        # axis-aligned with the abad frame, so the hip CAD inertia/CoM
+        # (MiniCheetah.h:69-73) conjugate by diag(-1,-1,1): the xz/yz
+        # products flip sign (xy is invariant) and the CoM x/y negate.
+        hip_i = np.array([[1983, 245, -13], [245, 2103, -1.5], [-13, -1.5, 408]]) * 1e-6
         knee_i_rotated = np.diag([6e-6, 248e-6, 245e-6])
         ry = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], dtype=np.float64)
         knee_i = ry @ knee_i_rotated @ ry.T
@@ -92,7 +104,8 @@ class MiniCheetahModel:
             inertias.append(
                 sp.spatial_inertia(
                     jnp.asarray(0.634),
-                    jnp.asarray([0.0, side * 0.016, -0.02]),
+                    # Rz(pi)-frame CoM (0, 0.016, -0.02) maps to -y here
+                    jnp.asarray([0.0, -side * 0.016, -0.02]),
                     jnp.asarray(_mirror_y(hip_i, side), jnp.float32),
                 )
             )
@@ -107,6 +120,52 @@ class MiniCheetahModel:
                     jnp.asarray(_mirror_y(knee_i, side), jnp.float32),
                 )
             )
+
+        # Explicit geared rotors (MiniCheetah.h:51-109, Quadruped.cpp:117-206):
+        # each moving body i has a rotor attached to its PARENT at a fixed
+        # translation, spinning about the joint axis at gear * q_i. Stored
+        # per moving body (1..12): the rotor spatial inertia (mass 0.055,
+        # CoM 0, diag 63e-6 spin / 33e-6 transverse — axisymmetric, so its
+        # parent-coordinate static part X_rot' I_rot X_rot is CONSTANT), the
+        # parent->rotor translation, and the gear ratio. Abad rotors sit on
+        # the base at withLegSigns(0.125, 0.049, 0); hip rotors on the abad
+        # at (0, side*0.04, 0); knee rotors at the hip origin.
+        i_spin_x = np.diag([63e-6, 33e-6, 33e-6])   # abad rotors spin about X
+        i_spin_y = np.diag([33e-6, 63e-6, 33e-6])   # hip/knee rotors about Y
+        rotor_mass = 0.055
+        gears = [r.abad_gear_ratio, r.hip_gear_ratio, r.knee_gear_ratio]
+        rotor_inertia = []      # 6x6 spatial, rotor coords (axisymmetric)
+        rotor_xtree = []        # parent -> rotor-frame-at-zero (translation)
+        for leg in range(4):
+            side = r.side_signs[leg]
+            locs = [
+                [0.125 * float(np.sign(hips[leg][0])), side * 0.049, 0.0],
+                [0.0, side * 0.04, 0.0],
+                [0.0, 0.0, 0.0],
+            ]
+            for j in range(3):
+                i_rot = i_spin_x if j == 0 else i_spin_y
+                rotor_inertia.append(np.asarray(sp.spatial_inertia(
+                    jnp.asarray(rotor_mass), jnp.zeros(3),
+                    jnp.asarray(i_rot, jnp.float32))))
+                rotor_xtree.append(np.asarray(sp.xform(
+                    jnp.eye(3), jnp.asarray(locs[j], jnp.float32))))
+        self.rotor_inertia = [jnp.asarray(x, jnp.float32) for x in rotor_inertia]
+        self.rotor_xtree = [jnp.asarray(x, jnp.float32) for x in rotor_xtree]
+        self.gear = [float(gears[j % 3]) for j in range(12)]
+        # constants exploiting rotor axisymmetry (transverse inertias equal,
+        # CoM on the spin axis): Xuprot' Irot Xuprot and Xuprot' (Irot Srot)
+        # are INDEPENDENT of the rotor angle, so both are precomputed here.
+        rotor_static, urot_parent = [], []
+        for b in range(12):
+            x = jnp.asarray(rotor_xtree[b], jnp.float32)
+            i_rot = jnp.asarray(rotor_inertia[b], jnp.float32)
+            rotor_static.append(x.T @ i_rot @ x)
+            srot = (_JOINT_SIGN[b % 3] * self.gear[b]
+                    * sp.joint_motion_subspace(_JOINT_AXIS[b % 3]))
+            urot_parent.append(x.T @ (i_rot @ srot))
+        self.rotor_static = rotor_static       # 6x6, parent coords
+        self.urot_parent = urot_parent         # (6,), parent coords
 
         self.parents = parents
         self.x_tree = [jnp.asarray(x, jnp.float32) for x in x_tree]
@@ -177,39 +236,59 @@ class MiniCheetahModel:
         o = jnp.stack([ox[2, 1], ox[0, 2], ox[1, 0]])
         return o + e.T @ point_body
 
+    def _rotor_xforms(self, q12):
+        """Per-moving-body rotor transform Xuprot (parent->rotor) and geared
+        motion subspace Srot = sign * gear * axis (rotor coords) — the
+        reference's _Xuprot/_Srot (FloatingBaseModel.cpp
+        updateArticulatedBodies)."""
+        xuprot, srot = [], []
+        for b in range(12):
+            axis = _JOINT_AXIS[b % 3]
+            sign = _JOINT_SIGN[b % 3]
+            g = self.gear[b]
+            xuprot.append(
+                sp.joint_xform(axis, sign * g * q12[b]) @ self.rotor_xtree[b]
+            )
+            srot.append(sign * g * sp.joint_motion_subspace(axis))
+        return xuprot, srot
+
     # --------------------------------------------------------------- CRBA
     def mass_matrix(self, q12):
-        """Generalized mass matrix (18,18): [base(6), joints(12)]."""
+        """Generalized mass matrix (18,18): [base(6), joints(12)], with the
+        reference's exact geared-rotor terms (FloatingBaseModel.cpp:752-811):
+        rotor statics in the composite recursion, gear^2 spin inertia on the
+        joint diagonal, and the gear^1 coupling Xuprot'(Irot Srot) on every
+        joint-ancestor column."""
         xup, s_list = self._kinematics(q12)
         ic = list(self.inertias)
-        f_cols = [None] * N_BODIES  # Ic_i S_i per moving body
 
         m = jnp.zeros((N_DOF, N_DOF), jnp.float32)
         for i in range(N_BODIES - 1, 0, -1):
             p = self.parents[i]
-            ic[p] = ic[p] + sp.xform_force(sp.inv_xform(xup[i])) @ ic[i] @ xup[i]
+            ic[p] = (
+                ic[p]
+                + sp.xform_force(sp.inv_xform(xup[i])) @ ic[i] @ xup[i]
+                + self.rotor_static[i - 1]
+            )
 
         # joint-joint and joint-base terms
         for i in range(1, N_BODIES):
             si = s_list[i - 1]
             f = ic[i] @ si                       # (6,)
-            j = i
-            # climb to the base accumulating couplings
-            fi = f
-            while self.parents[j] > 0:
-                pj = self.parents[j]
+            m = m.at[6 + i - 1, 6 + i - 1].set(si @ f + self.rotor_refl[i - 1])
+            # into parent coordinates, with the rotor gear^1 coupling
+            fi = (sp.xform_force(sp.inv_xform(xup[i])) @ f
+                  + self.urot_parent[i - 1])
+            j = self.parents[i]
+            while j > 0:
+                m = m.at[6 + i - 1, 6 + j - 1].set(fi @ s_list[j - 1])
+                m = m.at[6 + j - 1, 6 + i - 1].set(fi @ s_list[j - 1])
                 fi = sp.xform_force(sp.inv_xform(xup[j])) @ fi
-                m = m.at[6 + i - 1, 6 + pj - 1].set(fi @ s_list[pj - 1])
-                m = m.at[6 + pj - 1, 6 + i - 1].set(fi @ s_list[pj - 1])
-                j = pj
-            fi = sp.xform_force(sp.inv_xform(xup[j])) @ fi
+                j = self.parents[j]
             m = m.at[0:6, 6 + i - 1].set(fi)
             m = m.at[6 + i - 1, 0:6].set(fi)
-            m = m.at[6 + i - 1, 6 + i - 1].set(si @ f)
 
         m = m.at[0:6, 0:6].set(ic[0])
-        # reflected rotor inertia on the joint diagonal
-        m = m.at[jnp.arange(6, 18), jnp.arange(6, 18)].add(self.rotor_refl)
         return m
 
     # --------------------------------------------------------------- RNEA
@@ -229,9 +308,11 @@ class MiniCheetahModel:
             [jnp.zeros(3, jnp.float32), jnp.asarray([0.0, 0.0, gravity], jnp.float32)]
         )
 
+        xuprot, srot = self._rotor_xforms(q12)
         v = [None] * N_BODIES
         a = [None] * N_BODIES
         f = [None] * N_BODIES
+        frot = [None] * N_BODIES
         v[0] = base_vel
         a[0] = a_grav  # -(-g): accelerating the base frame upward
         f[0] = self.inertias[0] @ a[0] + sp.force_cross(v[0]) @ (
@@ -246,12 +327,21 @@ class MiniCheetahModel:
             f[i] = self.inertias[i] @ a[i] + sp.force_cross(v[i]) @ (
                 self.inertias[i] @ v[i]
             )
+            # rotor bias force (generalizedCoriolisForce's _fvprot)
+            i_rot = self.rotor_inertia[i - 1]
+            vjr = srot[i - 1] * qd12[i - 1]
+            vrot = xuprot[i - 1] @ v[p] + vjr
+            arot = xuprot[i - 1] @ a[p] + sp.motion_cross(vrot) @ vjr
+            frot[i] = i_rot @ arot + sp.force_cross(vrot) @ (i_rot @ vrot)
 
         h = jnp.zeros((N_DOF,), jnp.float32)
         for i in range(N_BODIES - 1, 0, -1):
-            h = h.at[6 + i - 1].set(s_list[i - 1] @ f[i])
+            h = h.at[6 + i - 1].set(
+                s_list[i - 1] @ f[i] + srot[i - 1] @ frot[i]
+            )
             p = self.parents[i]
-            f[p] = f[p] + sp.xform_force(sp.inv_xform(xup[i])) @ f[i]
+            f[p] = (f[p] + sp.xform_force(sp.inv_xform(xup[i])) @ f[i]
+                    + sp.xform_force(sp.inv_xform(xuprot[i - 1])) @ frot[i])
         h = h.at[0:6].set(f[0])
         return h
 
@@ -266,20 +356,29 @@ class MiniCheetahModel:
 
     def _gravity_terms(self, q12, g_base):
         xup, s_list = self._kinematics(q12)
+        xuprot, srot = self._rotor_xforms(q12)
         a_grav = jnp.concatenate([jnp.zeros(3, jnp.float32), g_base])
         a = [None] * N_BODIES
         f = [None] * N_BODIES
+        frot = [None] * N_BODIES
         a[0] = a_grav
         f[0] = self.inertias[0] @ a[0]
         for i in range(1, N_BODIES):
             a[i] = xup[i] @ a[self.parents[i]]
             f[i] = self.inertias[i] @ a[i]
+            frot[i] = self.rotor_inertia[i - 1] @ (
+                xuprot[i - 1] @ a[self.parents[i]]
+            )
         h = jnp.zeros((N_DOF,), jnp.float32)
         for i in range(N_BODIES - 1, 0, -1):
-            h = h.at[6 + i - 1].set(s_list[i - 1] @ f[i])
-            f[self.parents[i]] = f[self.parents[i]] + sp.xform_force(
-                sp.inv_xform(xup[i])
-            ) @ f[i]
+            h = h.at[6 + i - 1].set(
+                s_list[i - 1] @ f[i] + srot[i - 1] @ frot[i]
+            )
+            f[self.parents[i]] = (
+                f[self.parents[i]]
+                + sp.xform_force(sp.inv_xform(xup[i])) @ f[i]
+                + sp.xform_force(sp.inv_xform(xuprot[i - 1])) @ frot[i]
+            )
         h = h.at[0:6].set(f[0])
         return h
 
@@ -343,11 +442,13 @@ class MiniCheetahModel:
 
         Same qdd (18,) as `forward_dynamics` (differential-tested); gravity
         and external foot forces enter as per-body external spatial forces,
-        and the reflected rotor inertia adds to each joint's apparent
-        inertia d_i (the diagonal-dominant approximation of the reference's
-        explicit rotor bodies)."""
+        and the geared rotors carry the reference's EXACT recursion terms
+        (Utot/d/u with Srot couplings, FloatingBaseModel.cpp:879-958 +
+        updateArticulatedBodies) — golden-tested against the compiled
+        reference in tests/test_dynamics_golden.py."""
         xup, s_list = self._kinematics(q12)
         x0 = self._body_to_base(xup)
+        xuprot, srot = self._rotor_xforms(q12)
         g_world = jnp.asarray([0.0, 0.0, -gravity], jnp.float32)
         g_base = g_world if r_body is None else r_body @ g_world
         a_grav = jnp.concatenate([jnp.zeros(3, jnp.float32), g_base])
@@ -364,11 +465,14 @@ class MiniCheetahModel:
                 )
 
         # pass 1: velocities, velocity-product accelerations, bias forces
-        # (gravity as the external force I_i X_{0->i} a_grav on every body)
+        # (gravity as the external force I_i X_{0->i} a_grav on every body,
+        # and likewise -Irot X_{0->rot} a_grav on every rotor)
         v = [None] * N_BODIES
         c = [None] * N_BODIES
+        crot = [None] * N_BODIES
         ia = [None] * N_BODIES
         pa = [None] * N_BODIES
+        parot = [None] * N_BODIES
         v[0] = base_vel
         ia[0] = self.inertias[0]
         pa[0] = (
@@ -377,9 +481,10 @@ class MiniCheetahModel:
             - fext[0]
         )
         for i in range(1, N_BODIES):
+            p = self.parents[i]
             si = s_list[i - 1]
             vj = si * qd12[i - 1]
-            v[i] = xup[i] @ v[self.parents[i]] + vj
+            v[i] = xup[i] @ v[p] + vj
             c[i] = sp.motion_cross(v[i]) @ vj
             ia[i] = self.inertias[i]
             pa[i] = (
@@ -387,32 +492,51 @@ class MiniCheetahModel:
                 - self.inertias[i] @ (x0[i] @ a_grav)
                 - fext[i]
             )
+            i_rot = self.rotor_inertia[i - 1]
+            vjr = srot[i - 1] * qd12[i - 1]
+            vrot = xuprot[i - 1] @ v[p] + vjr
+            crot[i] = sp.motion_cross(vrot) @ vjr
+            parot[i] = (
+                sp.force_cross(vrot) @ (i_rot @ vrot)
+                - i_rot @ (xuprot[i - 1] @ (x0[p] @ a_grav))
+            )
 
-        # pass 2: articulated-body inertias inward
-        u_vec = [None] * N_BODIES
+        # pass 2: articulated-body inertias inward (reference
+        # updateArticulatedBodies + runABA loop 2, rotor-exact)
+        utot_l = [None] * N_BODIES
         d_inv = [None] * N_BODIES
         u_sc = [None] * N_BODIES
         for i in range(N_BODIES - 1, 0, -1):
             si = s_list[i - 1]
+            i_rot = self.rotor_inertia[i - 1]
             u = ia[i] @ si
-            d = si @ u + self.rotor_refl[i - 1]
-            usc = tau12[i - 1] - si @ pa[i]
-            ia_a = ia[i] - jnp.outer(u, u) / d
-            pa_a = pa[i] + ia_a @ c[i] + u * (usc / d)
-            p = self.parents[i]
+            urot = i_rot @ srot[i - 1]
             xf = sp.xform_force(sp.inv_xform(xup[i]))
-            ia[p] = ia[p] + xf @ ia_a @ xup[i]
-            pa[p] = pa[p] + xf @ pa_a
-            u_vec[i], d_inv[i], u_sc[i] = u, 1.0 / d, usc
+            utot = xf @ u + self.urot_parent[i - 1]     # parent coords
+            d = si @ u + srot[i - 1] @ urot
+            usc = (tau12[i - 1] - si @ pa[i] - srot[i - 1] @ parot[i]
+                   - u @ c[i] - urot @ crot[i])
+            p = self.parents[i]
+            xfrot = sp.xform_force(sp.inv_xform(xuprot[i - 1]))
+            ia[p] = (
+                ia[p] + xf @ ia[i] @ xup[i] + self.rotor_static[i - 1]
+                - jnp.outer(utot, utot) / d
+            )
+            pa[p] = (
+                pa[p] + xf @ (pa[i] + ia[i] @ c[i])
+                + xfrot @ (parot[i] + i_rot @ crot[i])
+                + utot * (usc / d)
+            )
+            utot_l[i], d_inv[i], u_sc[i] = utot, 1.0 / d, usc
 
         # pass 3: accelerations outward
         a = [None] * N_BODIES
         a[0] = jnp.linalg.solve(ia[0], -pa[0])
         qdd = jnp.zeros((12,), jnp.float32)
         for i in range(1, N_BODIES):
-            ap = xup[i] @ a[self.parents[i]] + c[i]
-            qdd_i = (u_sc[i] - u_vec[i] @ ap) * d_inv[i]
-            a[i] = ap + s_list[i - 1] * qdd_i
+            ap = a[self.parents[i]]
+            qdd_i = (u_sc[i] - utot_l[i] @ ap) * d_inv[i]
+            a[i] = xup[i] @ ap + s_list[i - 1] * qdd_i + c[i]
             qdd = qdd.at[i - 1].set(qdd_i)
         return jnp.concatenate([a[0], qdd])
 

@@ -248,12 +248,14 @@ def _kernel_scaled(mus, n_quad: int, n_hi: int, k_ref, out_ref):
 
 
 def ns_inverse_pallas_scaled(ks, a0: float = 1e-5, n_scaled: int = 9,
-                             n_quad: int = 2, n_hi: int = 2,
+                             n_quad: int = 2, n_hi: int = 1,
                              interpret: bool = False):
     """Scaled mixed-precision NS inverse. ks: (B, n_pad, n_pad)
     Jacobi-prescaled SPD, B a multiple of G, n_pad in {128, 256}. Handles
-    condition numbers up to ~1/a0; the defaults carry 10x margin over the
-    MPC KKT systems' measured ~4e3."""
+    condition numbers up to ~1/a0; the defaults match the production
+    polish-grade schedule (SolverConfig.ns_scaled/quad/hi_iters — a second
+    HIGHEST squaring measurably does not move the bf16x3-limited residual
+    floor, see config.py:ns_hi_iters)."""
     b, npad = ks.shape[0], ks.shape[-1]
     assert b % G == 0
     total = n_scaled + n_quad + n_hi
@@ -272,6 +274,161 @@ def ns_inverse_pallas_scaled(ks, a0: float = 1e-5, n_scaled: int = 9,
         ),
         interpret=interpret,
     )(ks)
+
+
+def _kernel_scaled_g(mus, n_quad: int, n_hi: int, g_sz: int, k_ref, out_ref):
+    """_kernel_scaled with a parameterized block size (G-variant bench)."""
+    eye = jnp.eye(k_ref.shape[-1], dtype=jnp.float32)
+    for g in range(g_sz):
+        k = k_ref[g]
+        k_hi, k_lo = _split(k)
+        alpha = 1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=-1))
+        x = alpha * eye
+        for mu in mus:
+            kx = _mm3(k_hi, k_lo, x)
+            x_hi, x_lo = _split(x)
+            x = mu * _mm3(x_hi, x_lo, 2.0 * eye - mu * kx)
+
+        def quad_body(_, x):
+            kx = _mm3(k_hi, k_lo, x)
+            x_hi, x_lo = _split(x)
+            return _mm3(x_hi, x_lo, 2.0 * eye - kx)
+
+        x = jax.lax.fori_loop(0, n_quad, quad_body, x)
+
+        def hi_body(_, x):
+            kx = jax.lax.dot_general(
+                k, x, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return jax.lax.dot_general(
+                x, 2.0 * eye - kx, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        out_ref[g] = jax.lax.fori_loop(0, n_hi, hi_body, x)
+
+
+def ns_inverse_pallas_scaled_g(ks, a0: float = 1e-5, n_scaled: int = 9,
+                               n_quad: int = 2, n_hi: int = 1,
+                               g_sz: int = G, interpret: bool = False):
+    """ns_inverse_pallas_scaled with a configurable systems-per-program
+    block size (launch-overhead amortization experiments)."""
+    b, npad = ks.shape[0], ks.shape[-1]
+    assert b % g_sz == 0
+    total = n_scaled + n_quad + n_hi
+    return pl.pallas_call(
+        functools.partial(_kernel_scaled_g, mu_schedule(a0, n_scaled),
+                          n_quad, n_hi, g_sz),
+        grid=(b // g_sz,),
+        in_specs=[pl.BlockSpec((g_sz, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g_sz, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * total * 2 * npad**3,
+            bytes_accessed=2 * b * npad * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ks)
+
+
+# ---------------------------------------------------------------------------
+# Warm-started NS with an in-kernel divergence guard.
+#
+# A nearby system's (rescaled) inverse is a quadratic-phase starting point:
+# r0 = ||I - K X0|| < guard means each bf16x3 iteration squares r down, so
+# 3 quadratic + 1 HIGHEST iterations reach the schedule floor at ~40% of the
+# cold mu-schedule's MXU passes. Per-system guard: if r0 >= `guard` (the
+# active set changed too much — polish rounds — or rho moved a decade —
+# adaptive-rho refactorizations), that system falls back to the FULL cold
+# schedule in-branch, so the result is always factorization-grade.
+
+def _kernel_warm(mus, n_quad: int, n_hi: int, n_wquad: int, n_whi: int,
+                 guard: float, k_ref, init_ref, out_ref):
+    npad = k_ref.shape[-1]
+    eye = jnp.eye(npad, dtype=jnp.float32)
+
+    def hi_iter(k, x):
+        kx = jax.lax.dot_general(
+            k, x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.dot_general(
+            x, 2.0 * eye - kx, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    for g in range(G):
+        k = k_ref[g]
+        x0 = init_ref[g]
+        k_hi, k_lo = _split(k)
+        kx0 = _mm3(k_hi, k_lo, x0)
+        r0 = jnp.max(jnp.sum(jnp.abs(eye - kx0), axis=-1))
+
+        def quad_body(_, x):
+            kx = _mm3(k_hi, k_lo, x)
+            x_hi, x_lo = _split(x)
+            return _mm3(x_hi, x_lo, 2.0 * eye - kx)
+
+        # pl.when regions (not lax.cond: Mosaic lowers that to computing
+        # BOTH branches + select, which costs MORE than cold — measured
+        # 14.2 ms vs 12.9 cold at B=2048)
+        @pl.when(r0 < guard)
+        def _warm():
+            x0_hi, x0_lo = _split(x0)
+            x = _mm3(x0_hi, x0_lo, 2.0 * eye - kx0)   # reuses kx0
+            x = jax.lax.fori_loop(0, n_wquad - 1, quad_body, x)
+            out_ref[g] = jax.lax.fori_loop(
+                0, n_whi, lambda _, xx: hi_iter(k, xx), x)
+
+        @pl.when(r0 >= guard)
+        def _cold():
+            alpha = 1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=-1))
+            x = alpha * eye
+            for mu in mus:
+                kx = _mm3(k_hi, k_lo, x)
+                x_hi, x_lo = _split(x)
+                x = mu * _mm3(x_hi, x_lo, 2.0 * eye - mu * kx)
+            x = jax.lax.fori_loop(0, n_quad, quad_body, x)
+            out_ref[g] = jax.lax.fori_loop(
+                0, n_hi, lambda _, xx: hi_iter(k, xx), x)
+
+
+def ns_inverse_pallas_warm(ks, init, a0: float = 1e-5, n_scaled: int = 9,
+                           n_quad: int = 2, n_hi: int = 1,
+                           n_wquad: int = 3, n_whi: int = 1,
+                           guard: float = 0.5, interpret: bool = False):
+    """Warm-started scaled NS inverse. ks, init: (B, n_pad, n_pad); init in
+    the SAME Jacobi scaling as ks (callers rescale across scalings). Systems
+    whose init fails the divergence guard run the full cold schedule."""
+    b, npad = ks.shape[0], ks.shape[-1]
+    assert b % G == 0
+    total = n_scaled + n_quad + n_hi
+    return pl.pallas_call(
+        functools.partial(_kernel_warm, mu_schedule(a0, n_scaled), n_quad,
+                          n_hi, n_wquad, n_whi, guard),
+        grid=(b // G,),
+        in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * total * 2 * npad**3,
+            bytes_accessed=3 * b * npad * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ks, init)
 
 
 def make_ns_inverse(iters: int = 25):

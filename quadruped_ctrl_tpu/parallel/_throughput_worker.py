@@ -54,14 +54,18 @@ def main():
     fn = mesh_mod.sharded_mpc_solve(cfg, mesh, h)
     out = fn(ginputs)
     jax.block_until_ready(out)               # compile + implicit barrier
-    t0 = time.perf_counter()
+    samples = []
     for _ in range(reps):
-        out = fn(ginputs)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(ginputs))
+        samples.append(batch / (time.perf_counter() - t0))
     if pid == 0:
+        med = float(np.median(samples))
+        iqr = float(np.percentile(samples, 75) - np.percentile(samples, 25))
         with open(out_path, "w") as f:
-            json.dump({"solves_per_s": batch * reps / dt}, f)
+            json.dump({"solves_per_s": med,
+                       "rel_iqr": iqr / max(med, 1e-12),
+                       "samples": samples}, f)
 
 
 if __name__ == "__main__":

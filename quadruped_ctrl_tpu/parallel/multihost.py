@@ -40,21 +40,29 @@ def initialize_distributed(coordinator_address: str | None = None,
 
 
 def _throughput(cfg: FrameworkConfig, n_devices: int, per_device_batch: int,
-                h: int, reps: int) -> float:
-    """Solves/s for a batch sharded over the first n_devices."""
+                h: int, reps: int):
+    """Per-rep solves/s samples for a batch sharded over the first
+    n_devices. Returns a list of `reps` independent measurements so callers
+    can report medians and spread (shared-core virtual devices are noisy;
+    a single min/mean hides that)."""
     m = mesh_mod.make_mesh(n_devices)
     batch = n_devices * per_device_batch
     inputs = pipeline.random_inputs(jax.random.PRNGKey(0), batch, h)
     inputs = mesh_mod.shard_batch(inputs, m)
     fn = mesh_mod.sharded_mpc_solve(cfg, m, h)
-    out = fn(inputs)
-    np.asarray(out[1])                      # force completion (host fetch)
-    t0 = time.perf_counter()
+    np.asarray(fn(inputs)[1])               # compile + warm up (host fetch)
+    samples = []
     for _ in range(reps):
-        out = fn(inputs)
-    np.asarray(out[1])
-    dt = time.perf_counter() - t0
-    return batch * reps / dt
+        t0 = time.perf_counter()
+        np.asarray(fn(inputs)[1])
+        samples.append(batch / (time.perf_counter() - t0))
+    return samples
+
+
+def _median_spread(samples):
+    med = float(np.median(samples))
+    return med, float((np.percentile(samples, 75)
+                       - np.percentile(samples, 25)) / max(med, 1e-12))
 
 
 def multiprocess_scaling(num_processes: int = 2, devs_per_proc: int = 2,
@@ -102,7 +110,8 @@ def multiprocess_scaling(num_processes: int = 2, devs_per_proc: int = 2,
                     raise RuntimeError(
                         f"worker exited {p.returncode} (nproc={nproc})")
             with open(out) as f:
-                return json.load(f)["solves_per_s"]
+                d = json.load(f)
+                return d["solves_per_s"], d.get("rel_iqr", 0.0)
 
     # Same GLOBAL mesh (num_processes * devs_per_proc devices) and same
     # global batch both times; only the process split differs. On this
@@ -110,21 +119,29 @@ def multiprocess_scaling(num_processes: int = 2, devs_per_proc: int = 2,
     # overhead (the DCN-role cost), which is the axis virtual devices CAN
     # measure — raw weak scaling cannot be (all virtual devices share the
     # same physical cores).
-    t1 = run_group(1, num_processes * devs_per_proc)
-    tn = run_group(num_processes, devs_per_proc)
-    return {
+    t1, s1 = run_group(1, num_processes * devs_per_proc)
+    tn, sn = run_group(num_processes, devs_per_proc)
+    eff = tn / t1
+    rep = {
         "processes": num_processes,
         "devices_per_process": devs_per_proc,
         "global_devices": num_processes * devs_per_proc,
         "solves_per_s_single_process": round(t1, 1),
         "solves_per_s_multi_process": round(tn, 1),
-        "cross_process_efficiency": round(tn / t1, 4),
+        "rel_iqr": round(max(s1, sn), 4),
+        "statistic": "median of per-rep timings (workers report samples)",
+        "cross_process_efficiency": round(eff, 4),
     }
+    if eff > 1.05:
+        # splitting the same work over more processes cannot genuinely beat
+        # the single process on shared cores: flag as measurement noise
+        rep["noise"] = True
+    return rep
 
 
 def scaling_report(cfg: FrameworkConfig, device_counts=None,
                    per_device_batch: int = 256, h: int = 10,
-                   reps: int = 3) -> dict:
+                   reps: int = 10) -> dict:
     """Scaling report across device counts.
 
     Two efficiencies per row:
@@ -138,6 +155,12 @@ def scaling_report(cfg: FrameworkConfig, device_counts=None,
       per-device batch: the BASELINE.md ">=85% at 2 hosts" number. Only
       meaningful when devices are real (a pod slice); reported for
       completeness and labeled by `backend`.
+
+    Statistics: every throughput is the MEDIAN of `reps` independent
+    timings, each row carries the relative interquartile spread of its
+    samples, and any efficiency > 1.05 is flagged `noise: true` (a sharded
+    run cannot genuinely beat the same batch unsharded — on shared-core
+    virtual devices such rows measure scheduler noise, not speedup).
     """
     n_avail = len(jax.devices())
     if device_counts is None:
@@ -145,24 +168,33 @@ def scaling_report(cfg: FrameworkConfig, device_counts=None,
     base = None
     rows = []
     for n in device_counts:
-        tput = _throughput(cfg, n, per_device_batch, h, reps)
-        tput_1dev = (tput if n == 1
-                     else _throughput(cfg, 1, n * per_device_batch, h, reps))
+        tput, spread = _median_spread(
+            _throughput(cfg, n, per_device_batch, h, reps))
+        if n == 1:
+            tput_1dev, spread_1 = tput, spread
+        else:
+            tput_1dev, spread_1 = _median_spread(
+                _throughput(cfg, 1, n * per_device_batch, h, reps))
         if base is None:
             base = tput
-        rows.append(
-            {
-                "devices": n,
-                "solves_per_s": round(tput, 1),
-                "sharding_efficiency": round(tput / tput_1dev, 4),
-                "weak_efficiency": round(tput / (base * n), 4),
-            }
-        )
+        sh_eff = tput / tput_1dev
+        row = {
+            "devices": n,
+            "solves_per_s": round(tput, 1),
+            "rel_iqr": round(max(spread, spread_1), 4),
+            "sharding_efficiency": round(sh_eff, 4),
+            "weak_efficiency": round(tput / (base * n), 4),
+        }
+        if sh_eff > 1.05:
+            row["noise"] = True
+        rows.append(row)
     return {
         "metric": "mpc_scaling",
         "backend": jax.default_backend(),
         "shared_core_virtual_devices": jax.default_backend() == "cpu",
         "per_device_batch": per_device_batch,
+        "reps": reps,
+        "statistic": "median of reps; rel_iqr = IQR/median",
         "horizon": h,
         "rows": rows,
     }

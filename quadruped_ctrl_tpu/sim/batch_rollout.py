@@ -40,13 +40,15 @@ def _one_tick(cfg, state, sim, cmd, terrain, with_mpc: bool, mpc_iterations):
 
 
 def _mpc_tick_batched(cfg, states, sims, cmds, terrains, h_sol,
-                      mpc_iterations):
+                      mpc_iterations, max_stance=None):
     """The every-13th tick with the MPC solve batch-explicit: control_tick
     and leg_commands vmap per lane, while the solve itself runs through
     `controller.mpc_update_batched` -> `admm.admm_mpc_batched` (Pallas NS
     factorization + tile-aligned bf16-streamed iterate) — the same fast
     solver path as the throughput bench, instead of per-lane `admm_mpc`
-    under vmap."""
+    under vmap. With `max_stance` (a valid bound for every scenario's gait
+    — see gait.max_simultaneous_stance) the solves additionally run
+    stance-compressed + pair-packed, the bench pipeline's exact shape."""
     sensors = jax.vmap(lambda s: engine.sensors_from_sim(cfg, s))(sims)
     states, ctx = jax.vmap(
         lambda st, sn, c: ctrl.control_tick(cfg, st, sn, c)
@@ -57,7 +59,8 @@ def _mpc_tick_batched(cfg, states, sims, cmds, terrains, h_sol,
     iters = (cfg.solver.warm_iterations if mpc_iterations is None
              else mpc_iterations)
     states = ctrl.mpc_update_batched(
-        cfg, states, ctx, h_sol=h_sol, iterations=iters
+        cfg, states, ctx, h_sol=h_sol, iterations=iters,
+        max_stance=max_stance,
     )
     states, outs = jax.vmap(
         lambda st, c: ctrl.leg_commands(cfg, st, c)
@@ -78,7 +81,8 @@ def batch_init(cfg: FrameworkConfig, terrains: Terrain, batch: int):
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "n_macro", "mpc_iterations", "h_sol", "cont"))
+         static_argnames=("cfg", "n_macro", "mpc_iterations", "h_sol", "cont",
+                          "max_stance"))
 def batch_rollout(
     cfg: FrameworkConfig,
     states,                 # batched FullControllerState
@@ -89,10 +93,14 @@ def batch_rollout(
     mpc_iterations: int | None = None,
     h_sol: int | None = None,
     cont: bool = False,
+    max_stance: int | None = None,
 ):
     """Run n_macro macro-steps (13 ticks each). Returns
     (states, sims, per-macro records). `h_sol` is the static solved MPC
     horizon (see mpc_update_batched; default cfg.mpc.h_max is always safe).
+    `max_stance` enables stance-compressed + packed solves — valid only when
+    it bounds every scenario gait's simultaneous stance feet
+    (gait.max_simultaneous_stance).
 
     `cont=True` continues a rollout previously advanced by this function:
     the KF warmup and the pre-first-MPC prologue are skipped so the 13-tick
@@ -130,7 +138,8 @@ def batch_rollout(
     def macro(carry, _):
         states, sims = carry
         states, sims = _mpc_tick_batched(
-            cfg, states, sims, commands, terrains, h_sol, mpc_iterations
+            cfg, states, sims, commands, terrains, h_sol, mpc_iterations,
+            max_stance=max_stance,
         )
         (states, sims), _ = lax.scan(
             plain_tick, (states, sims), None, length=ib - 1

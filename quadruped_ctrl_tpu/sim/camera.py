@@ -78,14 +78,14 @@ def point_cloud(terrain: Terrain, base_p, base_quat, n_steps: int = 48):
     return pts.reshape(-1, 3), valid.reshape(-1)
 
 
-def render_image(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
-                 light=(0.3, 0.2, 0.9)):
-    """(HEIGHT, WIDTH) uint8 mono image — the role of the reference's mono8
-    /cam0/image_raw topic (walking_simulation.py:287-299, 330-354, which
-    grayscales PyBullet's RGB render). TPU-native shading of the same
-    sphere-traced hit points: Lambertian terrain normal (finite-difference
-    of the height function) with inverse-distance attenuation; sky (no hit)
-    renders bright."""
+def render_rgb(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
+               light=(0.3, 0.2, 0.9)):
+    """(HEIGHT, WIDTH, 3) uint8 RGB image — the reference renders RGB via
+    PyBullet getCameraImage (walking_simulation.py:287-299) and publishes
+    mono8 converted from it. TPU-native shading of the sphere-traced hit
+    points: height-tinted terrain albedo, Lambertian terrain normal
+    (finite-difference of the height function) with inverse-distance
+    attenuation; sky (no hit) renders light blue."""
     depth, dirs, eye = render_depth(terrain, base_p, base_quat, n_steps)
     pts = eye[None, None, :] + depth[..., None] * dirs        # (H,W,3)
     eps = 0.05
@@ -103,5 +103,26 @@ def render_image(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
     lambert = jnp.clip(jnp.einsum("hwi,i->hw", n, l), 0.0, 1.0)
     atten = 1.0 / (1.0 + 0.15 * depth * depth)
     hit = depth < FAR - 1e-3
-    shade = jnp.where(hit, 0.15 + 0.85 * lambert * atten, 0.92)
-    return (shade * 255.0).astype(jnp.uint8)
+    shade = 0.15 + 0.85 * lambert * atten                     # (H,W)
+    # terrain albedo: height-tinted earth tones (greener when higher)
+    ground = height_at(terrain, pts[..., 0], pts[..., 1])
+    tint = jnp.clip(ground * 4.0 + 0.5, 0.0, 1.0)
+    albedo = jnp.stack(
+        [0.55 + 0.1 * tint, 0.45 + 0.35 * tint, 0.30 + 0.05 * tint], axis=-1
+    )
+    sky = jnp.asarray([0.70, 0.82, 0.95], jnp.float32)
+    rgb = jnp.where(hit[..., None], shade[..., None] * albedo,
+                    sky[None, None, :])
+    return (jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def render_image(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
+                 light=(0.3, 0.2, 0.9)):
+    """(HEIGHT, WIDTH) uint8 mono8 image, converted from the RGB render with
+    ITU-R 601 luma weights — the same RGB->'L' conversion PIL applies in the
+    reference's /cam0/image_raw path (walking_simulation.py:330-347)."""
+    rgb = render_rgb(terrain, base_p, base_quat, n_steps, light).astype(
+        jnp.float32
+    )
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return jnp.clip(luma, 0.0, 255.0).astype(jnp.uint8)

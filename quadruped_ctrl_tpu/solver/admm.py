@@ -360,7 +360,8 @@ def admm_mpc(
 # (ops/ns_inverse.py): ~1.5x on the dominant phase, and higher accuracy
 # (in-kernel HIGHEST matmuls reach resid ~3e-7 vs ~5e-6).
 
-def _batched_solver(k, cfg: SolverConfig, use_pallas: bool, schedule=None):
+def _batched_solver(k, cfg: SolverConfig, use_pallas: bool, schedule=None,
+                    prev_inv=None, prev_scale=None):
     """k: (B,n,n) SPD -> solve(b_vec (B,n)) -> (B,n), Jacobi-prescaled with
     iterative refinement. The Pallas path runs the scaled mixed-precision
     schedule (13 iterations ~= 25 plain HIGHEST ones, 2x faster).
@@ -368,7 +369,13 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool, schedule=None):
     `schedule` is an optional (a0, n_scaled, n_quad, n_hi) override for the
     Pallas NS schedule; default is the full (polish-grade) schedule from cfg.
     ADMM-phase factorizations pass the short cfg.ns_admm_* schedule (their
-    Jacobi-scaled K has measured cond <= ~213, see config.py)."""
+    Jacobi-scaled K has measured cond <= ~213, see config.py).
+
+    `prev_inv`/`prev_scale` (a previous solver's `.inv_padded`/`.scale` for
+    a NEARBY system) warm-start the factorization: the rescaled inverse
+    seeds the short quadratic schedule in ns_inverse_pallas_warm, whose
+    per-system divergence guard falls back to the full cold `schedule` —
+    the factorization is always full-grade, warm starts only save time."""
     n = k.shape[-1]
     d = lax.rsqrt(jnp.maximum(jnp.diagonal(k, axis1=-2, axis2=-1), 1e-30))
     ks = k * d[:, :, None] * d[:, None, :]
@@ -388,7 +395,21 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool, schedule=None):
                 [ksp, jnp.broadcast_to(jnp.eye(npad, dtype=jnp.float32),
                                        (pad_b, npad, npad))], axis=0
             )
-        inv_padded = NI.ns_inverse_pallas_scaled(ksp, *schedule)[:b]
+        if prev_inv is not None:
+            # rescale the previous inverse across the two Jacobi scalings
+            r = jnp.ones((b, npad), jnp.float32).at[:, :n].set(prev_scale / d)
+            init = prev_inv * r[:, :, None] * r[:, None, :]
+            if pad_b:
+                init = jnp.concatenate(
+                    [init, jnp.broadcast_to(jnp.eye(npad, dtype=jnp.float32),
+                                            (pad_b, npad, npad))], axis=0
+                )
+            inv_padded = NI.ns_inverse_pallas_warm(
+                ksp, init, *schedule, n_wquad=cfg.ns_warm_quad,
+                n_whi=cfg.ns_warm_hi, guard=cfg.ns_warm_guard,
+            )[:b]
+        else:
+            inv_padded = NI.ns_inverse_pallas_scaled(ksp, *schedule)[:b]
         inv = inv_padded[:, :n, :n]
     else:
         inv = jax.vmap(lambda m: _ns_inverse(m, cfg.ns_iters))(ks)
@@ -549,14 +570,15 @@ def admm_mpc_batched(
     admm_schedule = (cfg.ns_admm_a0, cfg.ns_admm_scaled_iters,
                      cfg.ns_quad_iters, cfg.ns_hi_iters)
 
-    def build_solver(w, schedule=None):
+    def build_solver(w, schedule=None, prev_inv=None, prev_scale=None):
         gram = formation.pyramid_gram(cfg_mpc, w.reshape(bsz, h, nf, 5))
         gram = gram.reshape(bsz, h * nf, 3, 3)
         delta = (
             gram[:, :, :, None, :] * sel[None, :, None, :, None]
         ).reshape(bsz, n, n)
         k = hess_n + cfg.sigma * eye[None] + delta
-        return _batched_solver(k, cfg, use_pallas, schedule=schedule)
+        return _batched_solver(k, cfg, use_pallas, schedule=schedule,
+                               prev_inv=prev_inv, prev_scale=prev_scale)
 
     def apply_a(v):
         return formation.pyramid_apply(
@@ -652,6 +674,7 @@ def admm_mpc_batched(
         segs = adapt + 1
         seg = n_iter // segs
         carry = init
+        solve_cur = solve0
         for s_i in range(segs):
             last = s_i == segs - 1
             n_seg = n_iter - seg * (segs - 1) if last else seg
@@ -659,7 +682,10 @@ def admm_mpc_batched(
             carry = run(carry, inv_fullp, inv16p, rhoP, n_seg - tail, tail)
             if not last:
                 # OSQP adaptive-rho (per system) + ONE cheap warm
-                # refactorization (Pallas NS is ~3% of an iterate phase):
+                # refactorization (warm-seeded from the current inverse:
+                # rho usually moves by a small factor, so the quadratic
+                # warm schedule converges; decade moves hit the in-kernel
+                # guard and refactorize cold):
                 # lets hard cone-binding active sets converge in far fewer
                 # iterations than any fixed rho.
                 xs, zs, ys = carry
@@ -670,7 +696,10 @@ def admm_mpc_batched(
                 fac = _adapt_rho_factor(cfg, ax, zs[:, :m], hx, grad_n, aty)
                 rhoP = jnp.ones((bsz, mp_), dtype).at[:, :m].set(
                     rho * fac[:, None])
-                solve_s = build_solver(rhoP[:, :m], schedule=admm_schedule)
+                solve_s = build_solver(rhoP[:, :m], schedule=admm_schedule,
+                                       prev_inv=solve_cur.inv_padded,
+                                       prev_scale=solve_cur.scale)
+                solve_cur = solve_s
                 inv_fullp, inv16p = padded_inverse(solve_s)
         xp, zp, yp = carry
         x = xp[:, :n]
@@ -734,17 +763,30 @@ def admm_mpc_batched(
     w_act = 1e4
     lo_act = (z - l) < 1e-4
     hi_act = finite_u & ((u - z) < 1e-4)
+    if cfg.polish_dual_seed_tol > 0.0:
+        # dual-informed seeding: binding rows carry y < 0 (lower) / y > 0
+        # (upper) at the ADMM fixed point; large multipliers identify active
+        # rows z-proximity alone can miss after a finite iterate budget
+        dt_ = cfg.polish_dual_seed_tol
+        lo_act = lo_act | (y < -dt_)
+        hi_act = hi_act | (finite_u & (y > dt_))
 
     def viol(v):
         av = apply_a(v)
         per_row = jnp.maximum(l - av, jnp.where(finite_u, av - u, -1.0))
         return jnp.max(per_row, axis=-1)                      # (B,)
 
-    def one_round(best_x, best_v, lo, hi, y_al):
+    def one_round(best_x, best_v, lo, hi, y_al, prev_inv=None,
+                  prev_scale=None):
         act = lo | hi
         bound = jnp.where(lo, l, jnp.where(hi & finite_u, u, 0.0))
         w = jnp.where(act, w_act, 0.0)
-        solve = build_solver(w)
+        # round 0 factorizes cold (the active-penalty K is far from the
+        # ADMM K); later rounds warm-seed from the previous round's inverse
+        # — between rounds only the few changed active rows perturb K, so
+        # the short quadratic schedule usually suffices (in-kernel guard
+        # falls back to cold when it doesn't)
+        solve = build_solver(w, prev_inv=prev_inv, prev_scale=prev_scale)
         y_act = jnp.where(act, y_al, 0.0)
         x_p = solve(-grad_n + apply_at(w * bound - y_act))
         ax = apply_a(x_p)
@@ -757,7 +799,10 @@ def admm_mpc_batched(
         lo = (lo & (y_new <= 1e-9)) | (ax < l - 1e-6)
         hi = (hi & (y_new >= -1e-9)) | (finite_u & (ax > u + 1e-6))
         y_al = jnp.where(lo | hi, y_new, 0.0)
-        return best_x, best_v, lo, hi, y_al
+        out = (best_x, best_v, lo, hi, y_al)
+        if use_pallas:
+            out = out + (solve.inv_padded, solve.scale)
+        return out
 
     if polish_rounds > 0:
         y_seed = jnp.where(lo_act | hi_act, y, 0.0)
@@ -766,8 +811,9 @@ def admm_mpc_batched(
         def round_body(carry, _):
             return one_round(*carry), None
 
-        (x, _, _, _, _), _ = lax.scan(round_body, carry, None,
-                                      length=max(polish_rounds - 1, 0))
+        carry, _ = lax.scan(round_body, carry, None,
+                            length=max(polish_rounds - 1, 0))
+        x = carry[0]
     if return_warm:
         return x * f_scale, warm_out
     return x * f_scale

@@ -15,7 +15,8 @@ REF=${REF:-/root/reference}
 OUT=${1:-/tmp/quadruped_ref}
 mkdir -p "$OUT/obj" "$OUT/shim"
 
-if [[ -f "$OUT/libquadruped_ctrl_ref.so" && -z "${FORCE:-}" ]]; then
+if [[ -f "$OUT/libquadruped_ctrl_ref.so" && -f "$OUT/libdyn_shim_ref.so" \
+      && -z "${FORCE:-}" ]]; then
   echo "already built: $OUT/libquadruped_ctrl_ref.so (FORCE=1 to rebuild)"
   exit 0
 fi
@@ -111,5 +112,12 @@ CTRL_OBJS=$(compile ctrl "$CXX" $CXXFLAGS -I"$REF/src" -I"$EIGEN" -I"$OUT/shim" 
   "${CTRL_PATHS[@]}")
 $CXX -shared -o "$OUT/libquadruped_ctrl_ref.so" $CTRL_OBJS \
   -L"$OUT" -lqpOASES_ref -lJCQP_ref -losqp_ref -Wl,-rpath,"$OUT" -lpthread
+
+echo "== dynamics shim (rotor-exact FloatingBaseModel golden surface)"
+SHIM_SRC="$(dirname "${BASH_SOURCE[0]}")/dyn_shim.cpp"
+SHIM_OBJS=$(compile dynshim "$CXX" $CXXFLAGS -I"$REF/src" -I"$EIGEN" \
+  -I"$OUT/shim" -- "$SHIM_SRC")
+$CXX -shared -o "$OUT/libdyn_shim_ref.so" $SHIM_OBJS \
+  -L"$OUT" -lquadruped_ctrl_ref -Wl,-rpath,"$OUT"
 
 echo "built: $OUT/libquadruped_ctrl_ref.so"

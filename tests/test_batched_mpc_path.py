@@ -73,6 +73,65 @@ def test_batched_matches_per_lane():
     )
 
 
+def test_packed_compressed_matches_full():
+    """The stance-compressed + pair-packed closed-loop path (max_stance=2,
+    the bench pipeline's solve shape) must agree with the uncompressed
+    batched path on 2-stance (trot) tables — the same-minimizer guarantee of
+    the reference's swing-variable elimination (SolverMPC.cpp:441-525)."""
+    states, ctx = _batched_states_ctx()
+    full = ctrl.mpc_update_batched(CFG, states, ctx, h_sol=10, iterations=120)
+    packed = ctrl.mpc_update_batched(
+        CFG, states, ctx, h_sol=10, iterations=120, max_stance=2
+    )
+    fr_a = np.asarray(full.core.locomotion.fr_des)
+    fr_b = np.asarray(packed.core.locomotion.fr_des)
+    assert np.all(np.isfinite(fr_b))
+    np.testing.assert_allclose(fr_b, fr_a, atol=0.15)
+    np.testing.assert_allclose(
+        np.asarray(packed.core.locomotion.f_ff),
+        np.asarray(full.core.locomotion.f_ff), atol=0.15,
+    )
+    np.testing.assert_allclose(
+        np.asarray(packed.core.locomotion.world_position_desired),
+        np.asarray(full.core.locomotion.world_position_desired), atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed.core.locomotion.mpc_fail_count),
+        np.asarray(full.core.locomotion.mpc_fail_count),
+    )
+    # the packed path stores its warm triple in the full layout: stance-foot
+    # x entries match the solved forces (normalized), swing entries are zero
+    wx = np.asarray(packed.core.locomotion.mpc_warm_x)
+    assert np.all(np.isfinite(wx))
+
+
+def test_packed_rollout_tracks_full_rollout():
+    """Closed-loop: a short trot rollout through the packed solver stays on
+    the uncompressed rollout's trajectory."""
+    import jax.numpy as jnp
+    from quadruped_ctrl_tpu.sim import batch_rollout as br
+
+    batch = 2
+    key = jax.random.PRNGKey(3)
+    terr = br.batch_terrains(batch, key, kinds=("plane",))
+    states, sims = br.batch_init(CFG, terr, batch)
+    cmds = Command(
+        vel=jnp.tile(jnp.array([[0.4, 0.0, 0.0]], jnp.float32), (batch, 1)),
+        gait_type=jnp.full((batch,), 9, jnp.int32),
+        robot_mode=jnp.zeros((batch,), jnp.int32),
+    )
+    outs = {}
+    for ms in (None, 2):
+        s, m, recs = br.batch_rollout(
+            CFG, states, sims, cmds, terr, 3, h_sol=10, max_stance=ms
+        )
+        outs[ms] = (np.asarray(m.p), np.asarray(recs["safety"]))
+    p_full, safe_full = outs[None]
+    p_packed, safe_packed = outs[2]
+    assert np.all(safe_packed[-1]) and np.all(safe_full[-1])
+    np.testing.assert_allclose(p_packed, p_full, atol=0.02)
+
+
 def test_batched_h_sol_10_matches_full_when_mpc_h_10():
     states, ctx = _batched_states_ctx()
     # force the sticky horizon to 10 (the reference demo's steady state)

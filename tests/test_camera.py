@@ -46,22 +46,28 @@ def test_point_cloud_sees_stairs():
     assert ahead[:, 2].max() > 0.03  # the step is visible
 
 
-def test_render_image_mono8():
+def test_render_rgb_and_mono8():
     from quadruped_ctrl_tpu.sim import camera as cam
 
     t = Terrain.slope(0.2)
-    img = cam.render_image(
-        t, jnp.array([0.0, 0.0, 0.3], jnp.float32),
-        jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
-    )
-    img = np.asarray(img)
+    p = jnp.array([0.0, 0.0, 0.3], jnp.float32)
+    q = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    rgb = np.asarray(cam.render_rgb(t, p, q))
+    assert rgb.shape == (cam.HEIGHT, cam.WIDTH, 3) and rgb.dtype == np.uint8
+    # earth-toned ground: red/green dominate blue on hit pixels
+    assert (rgb[..., 0].astype(int) - rgb[..., 2].astype(int)).mean() > 10
+
+    img = np.asarray(cam.render_image(t, p, q))
     assert img.shape == (cam.HEIGHT, cam.WIDTH) and img.dtype == np.uint8
-    # ground pixels are shaded darker than sky; both present in frame
-    assert int(img.max()) - int(img.min()) > 30
-    assert img.max() > 200
+    # shading varies across the frame (near-bright, far-attenuated)
+    assert int(img.max()) - int(img.min()) > 20
+    # mono8 IS the ITU-R 601 luma of the RGB render (the reference's
+    # RGB -> PIL 'L' conversion, walking_simulation.py:330-347)
+    luma = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+    np.testing.assert_allclose(img.astype(float), luma, atol=1.0)
+    # a frame with sky: camera on a downslope looking past the horizon
+    img_sky = np.asarray(cam.render_image(Terrain.slope(-0.6), p, q))
+    assert img_sky.max() > 190
     # jit-compatible
-    jimg = jax.jit(lambda t, p, q: cam.render_image(t, p, q))(
-        t, jnp.array([0.0, 0.0, 0.3], jnp.float32),
-        jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
-    )
+    jimg = jax.jit(lambda t, p, q: cam.render_image(t, p, q))(t, p, q)
     np.testing.assert_array_equal(np.asarray(jimg), img)

@@ -36,7 +36,9 @@ def test_mass_matrix_spd_and_total_mass():
     np.testing.assert_allclose(m, m.T, atol=1e-5)
     eig = np.linalg.eigvalsh(m)
     assert eig.min() > 0
-    total_mass = 3.3 + 4 * (0.54 + 0.634 + 0.064)
+    # links + 12 x 0.055 kg geared rotors (MiniCheetah.h:84; the rotor
+    # masses are why the SRB MPC uses m=9, RobotState.h:27)
+    total_mass = 3.3 + 4 * (0.54 + 0.634 + 0.064) + 12 * 0.055
     np.testing.assert_allclose(np.diag(m[3:6, 3:6]), total_mass, rtol=1e-5)
     # no coupling between the three base translations
     np.testing.assert_allclose(m[3:6, 3:6] - np.diag(np.diag(m[3:6, 3:6])), 0,
@@ -50,7 +52,7 @@ def test_gravity_torques():
     h = np.asarray(
         jax.jit(lambda q: MODEL.bias_forces(q, jnp.zeros(12), jnp.zeros(6)))(q)
     )
-    total_mass = 3.3 + 4 * (0.54 + 0.634 + 0.064)
+    total_mass = 3.3 + 4 * (0.54 + 0.634 + 0.064) + 12 * 0.055
     np.testing.assert_allclose(h[5], total_mass * 9.81, rtol=1e-4)
 
 

@@ -141,6 +141,60 @@ def test_fused_admm_kernel_interpret():
     np.testing.assert_allclose(x_k, x_xla, atol=0.5)
 
 
+def test_full_schedule_at_polish_cond():
+    """The full (polish-grade) schedule at the polish-round conditioning:
+    w_act=1e4 active-set penalties push the Jacobi-scaled polish K to
+    cond ~1e5 (config.py ns_admm notes). Measured on-device: resid 7e-4 at
+    cond 1e4, 1.7e-2 at 1e5 — the downstream polish solves carry 2 rounds
+    of iterative refinement (error ~r^3), so 1e5 stays well inside the
+    solver's accuracy budget."""
+    from quadruped_ctrl_tpu.config import default_config
+
+    cfg = default_config().solver
+    eye = np.eye(128, dtype=np.float32)
+    for cond, gate in ((1e4, 5e-3), (1e5, 5e-2)):
+        ks = _spd_batch(7, NI.G, 120, 128, cond=cond)
+        inv = np.asarray(NI.ns_inverse_pallas_scaled(
+            ks, cfg.ns_a0, cfg.ns_scaled_iters, cfg.ns_quad_iters,
+            cfg.ns_hi_iters, interpret=INTERPRET,
+        ))
+        resid = np.abs(
+            np.asarray(ks) @ inv - eye).sum(axis=-1).max()
+        assert resid < gate, (cond, resid)
+
+
+def test_warm_kernel_quality_and_guard():
+    """ns_inverse_pallas_warm: a nearby inverse seeds the short quadratic
+    schedule to cold-grade residuals; a garbage seed trips the in-kernel
+    divergence guard and still returns a cold-grade factorization."""
+    from quadruped_ctrl_tpu.config import default_config
+
+    cfg = default_config().solver
+    sched = (cfg.ns_a0, cfg.ns_scaled_iters, cfg.ns_quad_iters,
+             cfg.ns_hi_iters)
+    warm_kw = dict(n_wquad=cfg.ns_warm_quad, n_whi=cfg.ns_warm_hi,
+                   guard=cfg.ns_warm_guard, interpret=INTERPRET)
+    ks = _spd_batch(8, NI.G, 120, 128, cond=1e4)
+    cold = NI.ns_inverse_pallas_scaled(ks, *sched, interpret=INTERPRET)
+    # perturb a few diagonal entries (a polish-round active-set delta)
+    rng = np.random.default_rng(9)
+    bump = (rng.uniform(0, 0.3, (NI.G, 128))
+            * (rng.uniform(0, 1, (NI.G, 128)) < 0.05)
+            * (np.arange(128) < 120)).astype(np.float32)
+    ks2 = ks + jax.vmap(jnp.diag)(jnp.asarray(bump))
+    eye = np.eye(128, dtype=np.float32)
+
+    warm = np.asarray(NI.ns_inverse_pallas_warm(ks2, cold, *sched, **warm_kw))
+    r_warm = np.abs(np.asarray(ks2) @ warm - eye).sum(axis=-1).max()
+    assert r_warm < 5e-3, r_warm
+
+    garbage = jnp.zeros_like(cold) + 17.0
+    guarded = np.asarray(
+        NI.ns_inverse_pallas_warm(ks2, garbage, *sched, **warm_kw))
+    r_guard = np.abs(np.asarray(ks2) @ guarded - eye).sum(axis=-1).max()
+    assert r_guard < 5e-3, r_guard
+
+
 def test_short_admm_schedule_at_design_cond():
     """The ADMM-phase factorizations run a shortened NS schedule
     (cfg.solver.ns_admm_*, see config.py): it must reach the refinement
