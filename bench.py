@@ -155,6 +155,16 @@ def main():
               bytes_pol + bytes_pol_fact, "hbm"),
     ]
 
+    # h=16 lane: the aio mode-1 horizon cap (ConvexMPCLocomotion.cpp:174-233)
+    # — uncompressed 192-var systems on the 256-wide kernel tile (mode-1
+    # mid-speed bands have 3-4 stance feet, so no swing elimination applies)
+    h16, b16 = 16, 2048
+    inputs16 = pipeline.random_inputs(jax.random.PRNGKey(1), b16, h16)
+    t16 = timed(
+        lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=4, pack=1),
+        inputs16, 4,
+    )
+
     solves_per_s = batch / t_full
     print(
         json.dumps(
@@ -163,6 +173,8 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s (h=10, batch=4096, full pipeline)",
                 "vs_baseline": round(solves_per_s / 10000.0, 3),
+                "h16_solves_per_s": round(b16 / t16, 1),
+                "h16_unit": "solves/s (h=16, batch=2048, 192-var/256-tile)",
                 "phases": phases,
             }
         )

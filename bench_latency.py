@@ -70,22 +70,43 @@ def main():
         rec.record((time.perf_counter() - t0) * 1e3)
     host = rec.summary()
 
-    # device-side rate: async-dispatch 130 ticks (10 MPC macro-cycles),
-    # fetch once at the end; the queue hides per-call host latency
-    n_ticks = 130
-    state, sim, tau = step(state, sim)
-    np.asarray(tau)                  # drain the queue before timing
+    # device-side rate: ONE jitted 13-tick MPC macro-cycle (scan), queued
+    # 40 deep with a single scalar fetch. Per-call dispatch through the
+    # remote tunnel costs ~1 ms and dominates any per-tick measurement
+    # made with one execute per tick (measured: a PLAIN tick "takes" more
+    # than a full step that way); the scanned macro amortizes dispatch so
+    # wall/ticks is genuine device compute.
+    from jax import lax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def macro13(state, sim):
+        def tick(carry, _):
+            st, sm = carry
+            sensors = engine.sensors_from_sim(cfg, sm)
+            st, out = ctrl.controller_step(cfg, st, sensors, cmd)
+            sm = engine.sim_step(cfg, sm, out, terrain)
+            return (st, sm), jnp.sum(out.tau)
+        (st, sm), taus = lax.scan(tick, (state, sim), None, length=13)
+        return st, sm, jnp.sum(taus)
+
+    n_macros = 40
+    state, sim, acc = macro13(state, sim)
+    np.asarray(acc)                  # compile + drain
     t0 = time.perf_counter()
-    for _ in range(n_ticks):
-        state, sim, tau = step(state, sim)
-    np.asarray(tau)
-    per_tick_ms = (time.perf_counter() - t0) / n_ticks * 1e3
+    for _ in range(n_macros):
+        state, sim, acc = macro13(state, sim)
+    np.asarray(acc)
+    per_tick_ms = (time.perf_counter() - t0) / (n_macros * 13) * 1e3
 
     report = {
         "metric": "control_cycle_latency",
         "host_roundtrip_p50_ms": round(host["p50_ms"], 3),
         "host_roundtrip_p99_ms": round(host["p99_ms"], 3),
+        "host_roundtrip_note": "per-call dispatch through the axon tunnel "
+                               "(~1 ms RTT absent on locally-attached TPUs)",
         "device_per_tick_ms": round(per_tick_ms, 4),
+        "device_method": "13-tick scanned MPC macro-cycle x40, single fetch",
         "tick_budget_ms": 2.0,
         "mpc_budget_ms": 26.0,
         "device_within_budget": bool(per_tick_ms < 2.0),

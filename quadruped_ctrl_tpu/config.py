@@ -182,11 +182,19 @@ class SolverConfig:
     # estimate alongside the z-proximity rows — a better round-0 active set
     # lets a smaller polish_rounds reach the oracle. 0 disables (z-only).
     polish_dual_seed_tol: float = 0.0
+    # Active-set penalty weight of the polish solves (force-normalized
+    # units). 1e4 pins active rows to ~|dual|/w_act before the AL dual
+    # correction; it also sets the polish K's conditioning (~1e5), and
+    # thereby the NS schedule the polish factorizations need.
+    polish_w_act: float = 1e4
     # ADMM iterate precision split (TPU batched path): all but the last
     # f32_tail_iters iterations solve against a bf16 copy of the KKT inverse
     # (halves the HBM stream that dominates the iterate phase); the f32 tail
     # re-contracts to the exact fixed point before the active set is read.
     # 50 gives battery accuracy equal-or-better than all-f32 at +17% speed.
+    # (16 was tried in round 3: it trims ~20% of the iterate HBM stream but
+    # grows a knife-edge scenario's fused-vs-XLA disagreement to 8.4 N on
+    # device — not worth 2.8 ms of the 59 ms pipeline.)
     f32_tail_iters: int = 50
     infty: float = 1e10
     eql_tol: float = 1e-9

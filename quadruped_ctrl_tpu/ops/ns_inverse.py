@@ -1,7 +1,8 @@
 """Pallas TPU kernel: VMEM-resident Newton-Schulz SPD inversion.
 
-The KKT factorization (7 per MPC solve: 1 ADMM + 6 polish rounds) is the
-throughput-critical op of the batched solver (SURVEY.md §7 "hard parts").
+The KKT factorization (5 per cold MPC solve: 2 ADMM-phase incl. the
+adaptive-rho refactorization + 3 polish rounds) is the throughput-critical
+op of the batched solver (SURVEY.md §7 "hard parts").
 The XLA path re-streams each (n,n) matrix from HBM for all 2*iters matmuls
 and pays batched-matmul dispatch overheads; this kernel keeps each
 scenario's K and X in VMEM for the entire iteration — K is read once, X
@@ -255,12 +256,20 @@ def ns_inverse_pallas_scaled(ks, a0: float = 1e-5, n_scaled: int = 9,
     condition numbers up to ~1/a0; the defaults match the production
     polish-grade schedule (SolverConfig.ns_scaled/quad/hi_iters — a second
     HIGHEST squaring measurably does not move the bf16x3-limited residual
-    floor, see config.py:ns_hi_iters)."""
+    floor, see config.py:ns_hi_iters).
+
+    Runs the INTERLEAVED kernel (_kernel_scaled_il): NS-step-outer /
+    system-inner unrolling keeps groups of G independent MXU ops in flight,
+    2.07x the per-system-sequential variant (6.2 ms vs 12.8 ms at B=2048,
+    identical residual) whose dependent-matmul chains stall the systolic
+    pipeline."""
     b, npad = ks.shape[0], ks.shape[-1]
     assert b % G == 0
     total = n_scaled + n_quad + n_hi
+    gil = G if npad <= 128 else 2
     return pl.pallas_call(
-        functools.partial(_kernel_scaled, mu_schedule(a0, n_scaled), n_quad, n_hi),
+        functools.partial(_kernel_scaled_il, mu_schedule(a0, n_scaled),
+                          n_quad, n_hi, gil),
         grid=(b // G,),
         in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -311,6 +320,75 @@ def _kernel_scaled_g(mus, n_quad: int, n_hi: int, g_sz: int, k_ref, out_ref):
         out_ref[g] = jax.lax.fori_loop(0, n_hi, hi_body, x)
 
 
+def _kernel_scaled_il(mus, n_quad: int, n_hi: int, gil: int, k_ref, out_ref):
+    """Interleaved variant of _kernel_scaled: the NS step is the OUTER loop
+    and `gil` systems the inner, fully unrolled — every MXU op in a group of
+    gil is independent, so the systolic pipeline never stalls on the
+    dependent-matmul chain that serializes the per-system variant. gil is
+    bounded by scoped VMEM (16M): 8 at the 128 tile; 2 at 256 (gil=8
+    needs 27.5M, gil=4 misses the limit by 180K)."""
+    eye = jnp.eye(k_ref.shape[-1], dtype=jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    kw = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32)
+    for base in range(0, G, gil):
+        gs = range(base, base + gil)
+        ks = [k_ref[g] for g in gs]
+        khl = [_split(k) for k in ks]
+        xs = [
+            (1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=-1))) * eye for k in ks
+        ]
+        for mu in mus:                        # scaled, bf16x3
+            kxs = [_mm3(khl[i][0], khl[i][1], xs[i]) for i in range(gil)]
+            xhl = [_split(x) for x in xs]
+            xs = [
+                mu * _mm3(xhl[i][0], xhl[i][1], 2.0 * eye - mu * kxs[i])
+                for i in range(gil)
+            ]
+        for _ in range(n_quad):               # quadratic, bf16x3
+            kxs = [_mm3(khl[i][0], khl[i][1], xs[i]) for i in range(gil)]
+            xhl = [_split(x) for x in xs]
+            xs = [
+                _mm3(xhl[i][0], xhl[i][1], 2.0 * eye - kxs[i])
+                for i in range(gil)
+            ]
+        for _ in range(n_hi):                 # quadratic, HIGHEST tail
+            kxs = [jax.lax.dot_general(ks[i], xs[i], dn, **kw)
+                   for i in range(gil)]
+            xs = [
+                jax.lax.dot_general(xs[i], 2.0 * eye - kxs[i], dn, **kw)
+                for i in range(gil)
+            ]
+        for i, g in enumerate(gs):
+            out_ref[g] = xs[i]
+
+
+def ns_inverse_pallas_scaled_il(ks, a0: float = 1e-5, n_scaled: int = 9,
+                                n_quad: int = 2, n_hi: int = 1,
+                                interpret: bool = False):
+    """Interleaved scaled NS inverse (see _kernel_scaled_il)."""
+    b, npad = ks.shape[0], ks.shape[-1]
+    assert b % G == 0
+    total = n_scaled + n_quad + n_hi
+    gil = G if npad <= 128 else 2
+    return pl.pallas_call(
+        functools.partial(_kernel_scaled_il, mu_schedule(a0, n_scaled),
+                          n_quad, n_hi, gil),
+        grid=(b // G,),
+        in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * total * 2 * npad**3,
+            bytes_accessed=2 * b * npad * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ks)
+
+
 def ns_inverse_pallas_scaled_g(ks, a0: float = 1e-5, n_scaled: int = 9,
                                n_quad: int = 2, n_hi: int = 1,
                                g_sz: int = G, interpret: bool = False):
@@ -339,6 +417,14 @@ def ns_inverse_pallas_scaled_g(ks, a0: float = 1e-5, n_scaled: int = 9,
 
 # ---------------------------------------------------------------------------
 # Warm-started NS with an in-kernel divergence guard.
+#
+# STATUS: correct but NOT on any production path. Measured on v5e at
+# B=2048/128: warm 14.2 ms vs cold 12.9 ms — Mosaic executes BOTH sides of
+# a per-system data-dependent conditional (lax.cond lowers to
+# compute-and-select; pl.when regions measured identically), so the cold
+# fallback is always paid and the guard matmul is pure overhead. Kept (with
+# interpret-mode tests) as the candidate for hardware/toolchains where
+# scalar branches genuinely skip work.
 #
 # A nearby system's (rescaled) inverse is a quadratic-phase starting point:
 # r0 = ||I - K X0|| < guard means each bf16x3 iteration squares r down, so

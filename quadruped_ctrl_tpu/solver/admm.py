@@ -674,7 +674,6 @@ def admm_mpc_batched(
         segs = adapt + 1
         seg = n_iter // segs
         carry = init
-        solve_cur = solve0
         for s_i in range(segs):
             last = s_i == segs - 1
             n_seg = n_iter - seg * (segs - 1) if last else seg
@@ -696,10 +695,7 @@ def admm_mpc_batched(
                 fac = _adapt_rho_factor(cfg, ax, zs[:, :m], hx, grad_n, aty)
                 rhoP = jnp.ones((bsz, mp_), dtype).at[:, :m].set(
                     rho * fac[:, None])
-                solve_s = build_solver(rhoP[:, :m], schedule=admm_schedule,
-                                       prev_inv=solve_cur.inv_padded,
-                                       prev_scale=solve_cur.scale)
-                solve_cur = solve_s
+                solve_s = build_solver(rhoP[:, :m], schedule=admm_schedule)
                 inv_fullp, inv16p = padded_inverse(solve_s)
         xp, zp, yp = carry
         x = xp[:, :n]
@@ -760,7 +756,7 @@ def admm_mpc_batched(
 
     # ---- polish (batched, AL dual correction) ----
     finite_u = u < cfg.infty
-    w_act = 1e4
+    w_act = cfg.polish_w_act
     lo_act = (z - l) < 1e-4
     hi_act = finite_u & ((u - z) < 1e-4)
     if cfg.polish_dual_seed_tol > 0.0:
@@ -781,11 +777,11 @@ def admm_mpc_batched(
         act = lo | hi
         bound = jnp.where(lo, l, jnp.where(hi & finite_u, u, 0.0))
         w = jnp.where(act, w_act, 0.0)
-        # round 0 factorizes cold (the active-penalty K is far from the
-        # ADMM K); later rounds warm-seed from the previous round's inverse
-        # — between rounds only the few changed active rows perturb K, so
-        # the short quadratic schedule usually suffices (in-kernel guard
-        # falls back to cold when it doesn't)
+        # every round factorizes cold. (A warm-seeded NS kernel with an
+        # in-kernel guard was built and measured — ops/ns_inverse.py:
+        # ns_inverse_pallas_warm — but Mosaic executes BOTH sides of a
+        # per-system conditional (lax.cond and pl.when alike), so the warm
+        # round costs MORE than a cold one: 14.2 ms vs 12.9 at B=2048.)
         solve = build_solver(w, prev_inv=prev_inv, prev_scale=prev_scale)
         y_act = jnp.where(act, y_al, 0.0)
         x_p = solve(-grad_n + apply_at(w * bound - y_act))
@@ -799,10 +795,7 @@ def admm_mpc_batched(
         lo = (lo & (y_new <= 1e-9)) | (ax < l - 1e-6)
         hi = (hi & (y_new >= -1e-9)) | (finite_u & (ax > u + 1e-6))
         y_al = jnp.where(lo | hi, y_new, 0.0)
-        out = (best_x, best_v, lo, hi, y_al)
-        if use_pallas:
-            out = out + (solve.inv_padded, solve.scale)
-        return out
+        return best_x, best_v, lo, hi, y_al
 
     if polish_rounds > 0:
         y_seed = jnp.where(lo_act | hi_act, y, 0.0)

@@ -4,14 +4,16 @@ UNMODIFIED reference FloatingBaseModel with its EXPLICIT GEARED ROTOR BODIES
 FloatingBaseModel.cpp:752-811 massMatrix, :879-958 runABA), exposed through
 tests/dyn_shim.cpp.
 
-The repo's model (quadruped_ctrl_tpu/models/floating_base.py) folds rotors
-into reflected inertia on the joint diagonal — the standard approximation.
-These tests QUANTIFY that approximation against the reference's rotor-exact
-algorithms (VERDICT r2 missing #1 / weak #6): the error is the rotor's
-off-diagonal gyroscopic/coupling terms, measured below at ~1e-4 N*m*s^2 in
-the mass matrix (vs ~1e-2..1e-1 diagonal entries) and <2 rad/s^2 worst-case
-joint acceleration on crouch-range states with O(1 N*m) torques (~0.5% of
-the ~400 rad/s^2 accelerations those produce).
+The repo's model (quadruped_ctrl_tpu/models/floating_base.py) carries the
+geared rotors EXACTLY (rotor statics in the composite recursion, Srot/Utot
+gear couplings in CRBA/RNEA/ABA), so these are equality tests, not
+approximation bounds (VERDICT r2 missing #1 / weak #6 closed): measured
+parity on crouch-range random states is ~6e-4 worst mass-matrix entry and
+~1e-4 rad/s^2 worst ABA joint acceleration against ~600 rad/s^2 responses
+— the f32-vs-f64 floor. (History: the earlier reflected-inertia-only model
+measured 0.66 kg light — the 12 x 0.055 kg rotor masses — ~2% base-inertia
+errors and ~8% qdd errors under direct torques, which is what motivated the
+exact implementation.)
 """
 
 from __future__ import annotations
@@ -117,10 +119,7 @@ def test_fk_parity(refdyn):
 
 
 def test_mass_matrix_vs_rotor_exact(refdyn):
-    """H(q) vs the reference's rotor-exact CRBA. The reflected-inertia
-    approximation keeps the joint diagonal exact (gear^2 * I_rotor_spin IS
-    the rotor's diagonal contribution) and drops only the rotor's
-    off-diagonal couplings (gear^1 terms and rotor CoM offsets)."""
+    """H(q) vs the reference's rotor-exact CRBA (equality to f32)."""
     worst_diag, worst_off = 0.0, 0.0
     for quat, q, qd, bv, _ in _rand_states(8):
         refdyn.set_state(IDENT, np.zeros(3), np.zeros(6), q, qd)
@@ -131,15 +130,13 @@ def test_mass_matrix_vs_rotor_exact(refdyn):
         worst_diag = max(worst_diag, np.abs(np.diag(d)).max())
         off = d - np.diag(np.diag(d))
         worst_off = max(worst_off, np.abs(off).max())
-    # measured: diag ~5e-6 (f32 floor), off-diag ~1.1e-3 (the dropped
-    # gear * I_rotor_spin = 9.33 * 63e-6 = 5.9e-4-scale couplings)
+    # measured: diag ~5e-6, off-diag ~6e-4-scale entries to the f32 floor
     assert worst_diag < 5e-5, f"diagonal error {worst_diag:.2e}"
-    assert worst_off < 3e-3, f"off-diagonal rotor coupling {worst_off:.2e}"
+    assert worst_off < 1e-3, f"off-diagonal error {worst_off:.2e}"
 
 
 def test_gravity_and_coriolis_vs_reference(refdyn):
-    """Generalized gravity/Coriolis: rotors contribute gyroscopic Coriolis
-    terms the reflected-inertia model drops — quantified here."""
+    """Generalized gravity/Coriolis vs the rotor-exact reference."""
     worst_g, worst_c = 0.0, 0.0
     for quat, q, qd, bv, _ in _rand_states(8, seed=1):
         refdyn.set_state(IDENT, np.zeros(3), bv, q, qd)
@@ -166,9 +163,8 @@ def test_gravity_and_coriolis_vs_reference(refdyn):
 
 
 def test_aba_vs_rotor_exact(refdyn):
-    """Forward dynamics against the reference's rotor-exact articulated-body
-    algorithm, with orientation and body velocity: the headline number for
-    the reflected-inertia approximation."""
+    """Forward dynamics against the reference's rotor-exact articulated-
+    body algorithm, with orientation and body velocity."""
     worst_base, worst_joint, scale = 0.0, 0.0, 0.0
     for quat, q, qd, bv, tau in _rand_states(8, seed=2):
         refdyn.set_state(quat, np.array([0.0, 0.0, 0.3]), bv, q, qd)
@@ -183,9 +179,8 @@ def test_aba_vs_rotor_exact(refdyn):
         worst_base = max(worst_base, np.abs(d[:6]).max())
         worst_joint = max(worst_joint, np.abs(d[6:]).max())
         scale = max(scale, np.abs(qdd_ref[6:]).max())
-    # measured: joint qdd error <2 rad/s^2 against ~400 rad/s^2 responses
-    # (~0.5%), base <0.2 — the rotor couplings the reflected model drops
-    assert worst_joint < 4.0, (
-        f"joint qdd error {worst_joint:.2f} rad/s^2 (scale {scale:.0f})")
-    assert worst_base < 0.5, f"base accel error {worst_base:.3f}"
+    # measured: 1e-4 rad/s^2 against ~600 rad/s^2 responses (f32 floor)
+    assert worst_joint < 0.01, (
+        f"joint qdd error {worst_joint:.4f} rad/s^2 (scale {scale:.0f})")
+    assert worst_base < 0.001, f"base accel error {worst_base:.5f}"
     assert scale > 50.0  # sanity: the comparison exercised real dynamics

@@ -146,14 +146,11 @@ def test_mpc_grf_parity_other_gaits(ref_lib):
                 f"ours off oracle by {d0:.3f} N")
 
 
-@pytest.fixture(scope="module")
-def reference_driven_trace(ref_lib):
+def _run_reference_trace(terrain, gait: int, vx: float, n: int, stand: int):
     """Run the reference controller closed-loop on our articulated plant,
     with our controller shadowing the identical sensor stream."""
     cfg = FrameworkConfig()
-    terrain = Terrain.plane()
     model = MiniCheetahModel()
-    n, stand, vx = 780, 390, 0.4
 
     sens_fn = jax.jit(lambda s: art.sensors_from_articulated(cfg, s))
     step_fn = jax.jit(lambda st, sens, cmd: ctrl.controller_step(cfg, st, sens, cmd))
@@ -173,7 +170,7 @@ def reference_driven_trace(ref_lib):
     rc.set_gait_type(9)
     rc.set_robot_vel([0.0, 0.0, 0.0])
     cmd_stand = Command.create(0.0, 0.0, 0.0, gait_type=9, robot_mode=1)
-    cmd_trot = Command.create(vx, 0.0, 0.0, gait_type=9, robot_mode=0)
+    cmd_go = Command.create(vx, 0.0, 0.0, gait_type=gait, robot_mode=0)
 
     tau_ref = np.zeros((n, 12))
     tau_ours = np.zeros((n, 12))
@@ -183,12 +180,12 @@ def reference_driven_trace(ref_lib):
     for t in range(n):
         if t == stand:
             rc.set_robot_mode(0)
-            rc.set_gait_type(9)
+            rc.set_gait_type(gait)
             rc.set_robot_vel([vx, 0.0, 0.0])
         sens = sens_fn(sim)
         imu, leg = ref_bridge.sensors_to_arrays(jax.tree.map(np.asarray, sens))
         tau_ref[t] = rc.torques(imu, leg)
-        state, out = step_fn(state, sens, cmd_stand if t < stand else cmd_trot)
+        state, out = step_fn(state, sens, cmd_stand if t < stand else cmd_go)
         tau_ours[t] = np.asarray(out.tau).ravel()
         ps[t] = np.asarray(sim.p)
         rpys[t] = np.asarray(rpy_fn(sim.quat))
@@ -196,6 +193,21 @@ def reference_driven_trace(ref_lib):
 
     return dict(tau_ref=tau_ref, tau_ours=tau_ours, ps=ps, rpys=rpys,
                 stand=stand, n=n)
+
+
+@pytest.fixture(scope="module")
+def reference_driven_trace(ref_lib):
+    return _run_reference_trace(Terrain.plane(), gait=9, vx=0.4, n=780,
+                                stand=390)
+
+
+@pytest.fixture(scope="module")
+def reference_trace_walking_rough(ref_lib):
+    """Second trace-parity lane (VERDICT r2 next #6): walking gait (10) on
+    procedural rough terrain — a 3-stance gait pattern and terrain-excited
+    contact timing, neither exercised by the trot@plane trace."""
+    terrain = Terrain.random(jax.random.PRNGKey(2), amplitude=0.03)
+    return _run_reference_trace(terrain, gait=10, vx=0.3, n=780, stand=390)
 
 
 def test_reference_controller_stabilizes_our_plant(reference_driven_trace):
@@ -240,3 +252,43 @@ def test_torque_trace_parity(reference_driven_trace):
     assert r_trot < 0.35, f"trot-phase torque rel RMS {r_trot:.3f}"
     assert med < 0.5, f"median per-tick torque deviation {med:.3f} N*m"
     assert spike_frac < 0.05, f"{spike_frac:.1%} of ticks deviate >2 N*m"
+
+
+def test_reference_controller_walks_rough_terrain(reference_trace_walking_rough):
+    """The unmodified C++ stack must stand and WALK (gait 10) over the
+    rough heightfield on our articulated dynamics."""
+    tr = reference_trace_walking_rough
+    ps, rpys = tr["ps"], tr["rpys"]
+    settle = 100
+    # terrain cells are 0..0.03 m; height bounds widen accordingly
+    assert ps[settle:, 2].min() > 0.20, "body height collapsed"
+    assert ps[settle:, 2].max() < 0.36, "body height blew up"
+    assert np.abs(rpys[settle:, :2]).max() < 0.25, "roll/pitch diverged"
+    assert ps[-1, 0] > 0.08, "no forward progress while walking"
+
+
+def test_torque_trace_parity_walking_rough(reference_trace_walking_rough):
+    """Torque-shadowing parity on the walking@rough trace, same robust
+    aggregates as the trot lane (thresholds widened ~1.3x: rough-terrain
+    contact transitions amplify closed-loop chaos; the off-by-one-cadence
+    spike discriminator stays)."""
+    tr = reference_trace_walking_rough
+    d = tr["tau_ours"] - tr["tau_ref"]
+    stand, n = tr["stand"], tr["n"]
+
+    def rel_rms(sl):
+        return float(
+            np.sqrt((d[sl] ** 2).mean())
+            / np.sqrt((tr["tau_ref"][sl] ** 2).mean())
+        )
+
+    walk_end = min(stand + 250, n)
+    r_stand = rel_rms(slice(50, stand))
+    r_walk = rel_rms(slice(stand, walk_end))
+    tick_max = np.abs(d).max(axis=1)
+    med = float(np.median(tick_max[50:walk_end]))
+    spike_frac = float((tick_max[50:walk_end] > 2.0).mean())
+    assert r_stand < 0.40, f"stand-phase torque rel RMS {r_stand:.3f}"
+    assert r_walk < 0.45, f"walk-phase torque rel RMS {r_walk:.3f}"
+    assert med < 0.6, f"median per-tick torque deviation {med:.3f} N*m"
+    assert spike_frac < 0.07, f"{spike_frac:.1%} of ticks deviate >2 N*m"
