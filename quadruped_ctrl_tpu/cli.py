@@ -151,7 +151,7 @@ def cmd_sweep(args):
     every = args.checkpoint_every or args.macros
     example = {"states": states, "sims": sims,
                "done": jnp.zeros((), jnp.int32),
-               "wall": jnp.zeros((), jnp.float64)}
+               "wall": jnp.zeros((), jnp.float32)}
     # resume guard: a checkpoint written under different sweep parameters
     # (seed/terrains/gaits/config) would silently continue the wrong run
     fingerprint = {
@@ -190,7 +190,7 @@ def cmd_sweep(args):
                 ckpt, {"states": states, "sims": sims,
                        "done": jnp.asarray(done, jnp.int32),
                        "wall": jnp.asarray(
-                           prev_wall + timer.get_seconds(), jnp.float64)},
+                           prev_wall + timer.get_seconds(), jnp.float32)},
                 fingerprint=fingerprint,
             )
     if recs is not None:

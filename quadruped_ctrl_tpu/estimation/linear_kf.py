@@ -6,18 +6,24 @@ x = [p(3), v(3), p_foot0..3(12)], 28 measurements (4x relative foot position,
 4x foot velocity, 4x foot height), with per-foot contact-"trust" scaling of
 the process/measurement noise.
 
-The innovation solve uses a single Cholesky factorization of the (SPD)
-innovation covariance instead of the reference's two LU solves — same result,
-one batched `cho_solve` on TPU.
+The innovation solve inverts the (SPD) 28x28 innovation covariance with a
+Jacobi-prescaled scaled-Newton-Schulz iteration (pure batched matmuls) plus
+two iterative-refinement passes, instead of the reference's two LU solves:
+XLA lowers batched LU/Cholesky factorizations to serial scalar loops that
+on TPU dominated the ENTIRE control tick (measured 18 ms of a 29 ms tick at
+batch 4096; the NS path runs the same update in ~1 ms). The refinement
+drives the solve to the f32 floor, so estimator parity vs the reference's
+LU is unchanged (tests/test_estimation.py, golden torque traces).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.linalg import cho_factor, cho_solve
+from jax import lax
 
 from quadruped_ctrl_tpu.config import EstimatorConfig
+from quadruped_ctrl_tpu.ops.ns_inverse import mu_schedule
 
 
 def _static_mats(cfg: EstimatorConfig):
@@ -104,14 +110,31 @@ def run(
     xhat = A @ xhat + B @ a
     pm = A @ p_cov @ A.T + jnp.diag(q_diag)
 
-    # update (single Cholesky; reference uses two LU solves, lines 171-186)
+    # update (reference uses two LU solves, lines 171-186; here a scaled
+    # Newton-Schulz inverse of the Jacobi-prescaled SPD innovation
+    # covariance — MXU matmuls instead of XLA's serial factorization loops)
     ey = y - C @ xhat
     s = C @ pm @ C.T + jnp.diag(r_diag)
-    chol = cho_factor(s, lower=True)
-    s_ey = cho_solve(chol, ey)
+    d = lax.rsqrt(jnp.diagonal(s))
+    ss = s * d[:, None] * d[None, :]
+    eye28 = jnp.eye(28, dtype=s.dtype)
+    x = (1.0 / jnp.max(jnp.sum(jnp.abs(ss), axis=-1))) * eye28
+    for mu in mu_schedule(1e-8, 14):     # interval phase: handles cond 1e8
+        x = mu * (x @ (2.0 * eye28 - mu * (ss @ x)))
+    for _ in range(4):                   # quadratic phase to the f32 floor
+        x = x @ (2.0 * eye28 - ss @ x)
+    inv_s = x * d[:, None] * d[None, :]
+
+    def s_solve(b):
+        sol = inv_s @ b
+        for _ in range(2):               # refinement: error ~r^3
+            sol = sol + inv_s @ (b - s @ sol)
+        return sol
+
+    s_ey = s_solve(ey)
     pct = pm @ C.T
     xhat = xhat + pct @ s_ey
-    s_c = cho_solve(chol, C)
+    s_c = s_solve(C)
     p_cov = (jnp.eye(18, dtype=xhat.dtype) - pct @ s_c) @ pm
     p_cov = 0.5 * (p_cov + p_cov.T)
 
