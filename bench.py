@@ -155,13 +155,19 @@ def main():
               bytes_pol + bytes_pol_fact, "hbm"),
     ]
 
-    # h=16 lane: the aio mode-1 horizon cap (ConvexMPCLocomotion.cpp:174-233)
-    # — uncompressed 192-var systems on the 256-wide kernel tile (mode-1
-    # mid-speed bands have 3-4 stance feet, so no swing elimination applies)
+    # h=16 lane: the aio mode-1 horizon cap (ConvexMPCLocomotion.cpp:174-233).
+    # Two shapes: the worst case (mid-speed bands, 3-4 stance feet -> no
+    # swing elimination, 192-var systems on the 256 tile), and the fast-trot
+    # band (>1.4 m/s reshaped trot is 2-stance -> compressed 96-var,
+    # pair-packed to 192)
     h16, b16 = 16, 2048
     inputs16 = pipeline.random_inputs(jax.random.PRNGKey(1), b16, h16)
     t16 = timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=4, pack=1),
+        inputs16, 4,
+    )
+    t16t = timed(
+        lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=2, pack=2),
         inputs16, 4,
     )
 
@@ -175,6 +181,9 @@ def main():
                 "vs_baseline": round(solves_per_s / 10000.0, 3),
                 "h16_solves_per_s": round(b16 / t16, 1),
                 "h16_unit": "solves/s (h=16, batch=2048, 192-var/256-tile)",
+                "h16_trot_solves_per_s": round(b16 / t16t, 1),
+                "h16_trot_unit": "solves/s (h=16 fast-trot band, 2-stance "
+                                 "compressed + pair-packed)",
                 "phases": phases,
             }
         )

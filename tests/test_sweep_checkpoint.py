@@ -86,3 +86,29 @@ def test_cli_sweep_resumes_from_checkpoint(tmp_path, capsys):
     second = capsys.readouterr().out
     assert "resumed" in second and "macro 2/2" in second
     assert "robot_ticks_per_s" in first
+
+
+def test_checkpoint_fingerprint_mismatch_refused(tmp_path):
+    """A checkpoint written under different run parameters must be refused,
+    not silently resumed (the shape check alone only catches batch-size
+    changes)."""
+    import pytest
+    import jax.numpy as jnp
+
+    from quadruped_ctrl_tpu.utils import checkpoint
+
+    tree = {"a": jnp.arange(4, dtype=jnp.float32)}
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, tree, fingerprint={"seed": 0, "terrains": "plane"})
+    # same fingerprint loads
+    out = checkpoint.load(path, tree,
+                          fingerprint={"seed": 0, "terrains": "plane"})
+    assert int(out["a"][3]) == 3
+    # different run parameters are refused
+    with pytest.raises(ValueError, match="different run"):
+        checkpoint.load(path, tree,
+                        fingerprint={"seed": 1, "terrains": "plane"})
+    # structural mismatch is a clear error, not a stripped assert
+    with pytest.raises(ValueError, match="leaves"):
+        checkpoint.load(path, {"a": jnp.zeros(4), "b": jnp.zeros(2)},
+                        fingerprint={"seed": 0, "terrains": "plane"})
