@@ -563,7 +563,8 @@ def _mpc_update_batched_packed(cfg: FrameworkConfig, state, ctx, h_sol: int,
         lambda s, c: _mpc_problem_compressed(cfg, s, c, h_sol, ms)
     )(state, ctx)
     b = hess.shape[0]
-    assert b % pack == 0, f"batch {b} not divisible by pack {pack}"
+    if b % pack != 0:
+        pack = 1        # odd batches still compress; they just don't pack
     n_c = 3 * ms * h_sol
     m_c = 5 * ms * h_sol
 
