@@ -157,7 +157,7 @@ def cmd_sweep(args):
     fingerprint = {
         "seed": args.seed, "terrains": args.terrains, "gaits": args.gaits,
         "batch": args.batch, "vx_max": args.vx_max, "h_sol": args.h_sol,
-        "config": repr(cfg),
+        "max_stance": max_stance, "config": repr(cfg),
     }
 
     # h_sol=10: the mode-1 stand phase runs the aio standing band (h=10) and

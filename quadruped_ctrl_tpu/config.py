@@ -167,13 +167,11 @@ class SolverConfig:
     # (its solves also carry iterative refinement).
     ns_admm_a0: float = 5e-4
     ns_admm_scaled_iters: int = 6
-    # Warm-started NS (ops/ns_inverse.py:ns_inverse_pallas_warm): when a
-    # nearby factorization exists (polish rounds after the first, adaptive-
-    # rho refactorizations), its rescaled inverse seeds a short quadratic
-    # schedule — ns_warm_quad bf16x3 + ns_warm_hi HIGHEST iterations, ~40%
-    # of the cold schedule's MXU passes. An in-kernel per-system guard
-    # (residual >= ns_warm_guard, e.g. the active set changed on many rows)
-    # falls back to the full cold schedule, so accuracy never degrades.
+    # Warm-started NS kernel parameters (ops/ns_inverse.py:
+    # ns_inverse_pallas_warm). NOT on any production path: Mosaic executes
+    # both sides of a per-system conditional, so the guarded warm kernel
+    # measured SLOWER than cold (see the STATUS note there); the kernel and
+    # these knobs are kept for toolchains where scalar branches skip work.
     ns_warm_quad: int = 3
     ns_warm_hi: int = 1
     ns_warm_guard: float = 0.5

@@ -596,7 +596,7 @@ def _mpc_update_batched_packed(cfg: FrameworkConfig, state, ctx, h_sol: int,
     xp, warm_out = admm.admm_mpc_batched(
         cfg.solver, cfg.mpc, kp, gp, gaitp,
         iterations=iterations, polish_rounds=polish_rounds,
-        warm=warm_p, return_warm=True,
+        warm=warm_p, return_warm=True, pack=pack,
     )
     x_red = xp.reshape(b, n_c)
     forces = jax.vmap(lambda xr, fi: formation.scatter_forces(xr, fi, h_sol))(

@@ -191,11 +191,16 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
     # per-system 128-dim matvecs cannot keep the MXU busy.
     if use_fused is None:
         use_fused = False
-    solver_fn = admm.admm_mpc_fused if use_fused else admm.admm_mpc_batched
-    xp = solver_fn(
-        cfg.solver, cfg.mpc, kp, gp, gaitp,
-        iterations=iterations, polish_rounds=polish_rounds,
-    )                                                 # (B/pack, pack*n_c)
+    if use_fused:
+        xp = admm.admm_mpc_fused(
+            cfg.solver, cfg.mpc, kp, gp, gaitp,
+            iterations=iterations, polish_rounds=polish_rounds,
+        )
+    else:
+        xp = admm.admm_mpc_batched(
+            cfg.solver, cfg.mpc, kp, gp, gaitp,
+            iterations=iterations, polish_rounds=polish_rounds, pack=pack,
+        )                                             # (B/pack, pack*n_c)
     x_red = xp.reshape(b, n_c)
     return jax.vmap(lambda xr, fi: formation.scatter_forces(xr, fi, h))(
         x_red, foot_idx

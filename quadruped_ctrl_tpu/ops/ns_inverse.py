@@ -213,120 +213,13 @@ def mu_schedule(a0: float, n_scaled: int):
     return mus
 
 
-def _kernel_scaled(mus, n_quad: int, n_hi: int, k_ref, out_ref):
-    eye = jnp.eye(k_ref.shape[-1], dtype=jnp.float32)
-    for g in range(G):
-        k = k_ref[g]
-        k_hi, k_lo = _split(k)
-        alpha = 1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=-1))
-        x = alpha * eye
-
-        for mu in mus:                       # scaled, bf16x3
-            kx = _mm3(k_hi, k_lo, x)
-            x_hi, x_lo = _split(x)
-            x = mu * _mm3(x_hi, x_lo, 2.0 * eye - mu * kx)
-
-        def quad_body(_, x):                 # quadratic, bf16x3
-            kx = _mm3(k_hi, k_lo, x)
-            x_hi, x_lo = _split(x)
-            return _mm3(x_hi, x_lo, 2.0 * eye - kx)
-
-        x = jax.lax.fori_loop(0, n_quad, quad_body, x)
-
-        def hi_body(_, x):                   # quadratic, HIGHEST tail
-            kx = jax.lax.dot_general(
-                k, x, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            return jax.lax.dot_general(
-                x, 2.0 * eye - kx, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-
-        out_ref[g] = jax.lax.fori_loop(0, n_hi, hi_body, x)
-
-
-def ns_inverse_pallas_scaled(ks, a0: float = 1e-5, n_scaled: int = 9,
-                             n_quad: int = 2, n_hi: int = 1,
-                             interpret: bool = False):
-    """Scaled mixed-precision NS inverse. ks: (B, n_pad, n_pad)
-    Jacobi-prescaled SPD, B a multiple of G, n_pad in {128, 256}. Handles
-    condition numbers up to ~1/a0; the defaults match the production
-    polish-grade schedule (SolverConfig.ns_scaled/quad/hi_iters — a second
-    HIGHEST squaring measurably does not move the bf16x3-limited residual
-    floor, see config.py:ns_hi_iters).
-
-    Runs the INTERLEAVED kernel (_kernel_scaled_il): NS-step-outer /
-    system-inner unrolling keeps groups of G independent MXU ops in flight,
-    2.07x the per-system-sequential variant (6.2 ms vs 12.8 ms at B=2048,
-    identical residual) whose dependent-matmul chains stall the systolic
-    pipeline."""
-    b, npad = ks.shape[0], ks.shape[-1]
-    assert b % G == 0
-    total = n_scaled + n_quad + n_hi
-    gil = G if npad <= 128 else 2
-    return pl.pallas_call(
-        functools.partial(_kernel_scaled_il, mu_schedule(a0, n_scaled),
-                          n_quad, n_hi, gil),
-        grid=(b // G,),
-        in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * total * 2 * npad**3,
-            bytes_accessed=2 * b * npad * npad * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(ks)
-
-
-def _kernel_scaled_g(mus, n_quad: int, n_hi: int, g_sz: int, k_ref, out_ref):
-    """_kernel_scaled with a parameterized block size (G-variant bench)."""
-    eye = jnp.eye(k_ref.shape[-1], dtype=jnp.float32)
-    for g in range(g_sz):
-        k = k_ref[g]
-        k_hi, k_lo = _split(k)
-        alpha = 1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=-1))
-        x = alpha * eye
-        for mu in mus:
-            kx = _mm3(k_hi, k_lo, x)
-            x_hi, x_lo = _split(x)
-            x = mu * _mm3(x_hi, x_lo, 2.0 * eye - mu * kx)
-
-        def quad_body(_, x):
-            kx = _mm3(k_hi, k_lo, x)
-            x_hi, x_lo = _split(x)
-            return _mm3(x_hi, x_lo, 2.0 * eye - kx)
-
-        x = jax.lax.fori_loop(0, n_quad, quad_body, x)
-
-        def hi_body(_, x):
-            kx = jax.lax.dot_general(
-                k, x, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            return jax.lax.dot_general(
-                x, 2.0 * eye - kx, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-
-        out_ref[g] = jax.lax.fori_loop(0, n_hi, hi_body, x)
-
-
 def _kernel_scaled_il(mus, n_quad: int, n_hi: int, gil: int, k_ref, out_ref):
-    """Interleaved variant of _kernel_scaled: the NS step is the OUTER loop
-    and `gil` systems the inner, fully unrolled — every MXU op in a group of
-    gil is independent, so the systolic pipeline never stalls on the
-    dependent-matmul chain that serializes the per-system variant. gil is
-    bounded by scoped VMEM (16M): 8 at the 128 tile; 2 at 256 (gil=8
-    needs 27.5M, gil=4 misses the limit by 180K)."""
+    """Interleaved scaled NS kernel: the NS step is the OUTER loop and `gil`
+    systems the inner, fully unrolled — every MXU op in a group of gil is
+    independent, so the systolic pipeline never stalls on the dependent-
+    matmul chain that serializes a per-system loop (measured 2.07x). gil is
+    bounded by scoped VMEM (16M): 8 at the 128 tile; 2 at 256 (gil=8 needs
+    27.5M, gil=4 misses the limit by 180K)."""
     eye = jnp.eye(k_ref.shape[-1], dtype=jnp.float32)
     dn = (((1,), (0,)), ((), ()))
     kw = dict(precision=jax.lax.Precision.HIGHEST,
@@ -363,10 +256,21 @@ def _kernel_scaled_il(mus, n_quad: int, n_hi: int, gil: int, k_ref, out_ref):
             out_ref[g] = xs[i]
 
 
-def ns_inverse_pallas_scaled_il(ks, a0: float = 1e-5, n_scaled: int = 9,
-                                n_quad: int = 2, n_hi: int = 1,
-                                interpret: bool = False):
-    """Interleaved scaled NS inverse (see _kernel_scaled_il)."""
+def ns_inverse_pallas_scaled(ks, a0: float = 1e-5, n_scaled: int = 9,
+                             n_quad: int = 2, n_hi: int = 1,
+                             interpret: bool = False):
+    """Scaled mixed-precision NS inverse. ks: (B, n_pad, n_pad)
+    Jacobi-prescaled SPD, B a multiple of G, n_pad in {128, 256}. Handles
+    condition numbers up to ~1/a0; the defaults match the production
+    polish-grade schedule (SolverConfig.ns_scaled/quad/hi_iters — a second
+    HIGHEST squaring measurably does not move the bf16x3-limited residual
+    floor, see config.py:ns_hi_iters).
+
+    Runs the INTERLEAVED kernel (_kernel_scaled_il): NS-step-outer /
+    system-inner unrolling keeps groups of G independent MXU ops in flight,
+    2.07x the per-system-sequential variant (6.2 ms vs 12.8 ms at B=2048,
+    identical residual) whose dependent-matmul chains stall the systolic
+    pipeline."""
     b, npad = ks.shape[0], ks.shape[-1]
     assert b % G == 0
     total = n_scaled + n_quad + n_hi
@@ -378,32 +282,6 @@ def ns_inverse_pallas_scaled_il(ks, a0: float = 1e-5, n_scaled: int = 9,
         in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * total * 2 * npad**3,
-            bytes_accessed=2 * b * npad * npad * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(ks)
-
-
-def ns_inverse_pallas_scaled_g(ks, a0: float = 1e-5, n_scaled: int = 9,
-                               n_quad: int = 2, n_hi: int = 1,
-                               g_sz: int = G, interpret: bool = False):
-    """ns_inverse_pallas_scaled with a configurable systems-per-program
-    block size (launch-overhead amortization experiments)."""
-    b, npad = ks.shape[0], ks.shape[-1]
-    assert b % g_sz == 0
-    total = n_scaled + n_quad + n_hi
-    return pl.pallas_call(
-        functools.partial(_kernel_scaled_g, mu_schedule(a0, n_scaled),
-                          n_quad, n_hi, g_sz),
-        grid=(b // g_sz,),
-        in_specs=[pl.BlockSpec((g_sz, npad, npad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((g_sz, npad, npad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
         cost_estimate=pl.CostEstimate(

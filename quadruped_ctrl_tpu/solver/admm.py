@@ -538,13 +538,23 @@ def admm_mpc_batched(
     use_pallas: bool | None = None,
     warm=None,
     return_warm: bool = False,
+    pack: int = 1,
 ):
     """Batch-axis-explicit admm_mpc. Returns forces (B, n).
 
     `warm`/`return_warm` as in `admm_mpc`, batched: an (x_hat (B,n),
     z_hat (B,m), y_hat (B,m)) triple in force-normalized units; zeros are
     exactly the cold start. The returned triple is the pre-polish ADMM
-    iterate, for temporal warm starting across MPC ticks."""
+    iterate, for temporal warm starting across MPC ticks.
+
+    `pack` declares that each system is `pack` independent scenarios stacked
+    block-diagonally (scenario-major steps/variables — pipeline.
+    solve_packed_batch's layout). The KKT factorization and iterate phases
+    are pack-agnostic (block-diagonal inverses don't mix), but the two
+    DATA-DEPENDENT reductions are taken PER SCENARIO when pack > 1: the
+    adaptive-rho residual ratio and the polish best-iterate selection.
+    Without this, a hard scenario packed with an easy one would set its
+    partner's rho and polish choice."""
     n_iter = cfg.iterations if iterations is None else iterations
     polish_rounds = cfg.polish_rounds if polish_rounds is None else polish_rounds
     if use_pallas is None:
@@ -566,6 +576,17 @@ def admm_mpc_batched(
 
     eye = jnp.eye(n, dtype=dtype)
     sel = jnp.eye(h * nf, dtype=dtype)
+    m_full = h * nf * 5
+
+    def per_scn(v):
+        """(B, pack*d) -> (B*pack, d): per-scenario view of packed rows."""
+        return v.reshape(bsz * pack, v.shape[-1] // pack)
+
+    def scn_fac_rows(fac, d):
+        """(B*pack,) scenario factors -> (B, pack*d) row-aligned."""
+        return jnp.broadcast_to(
+            fac.reshape(bsz, pack, 1), (bsz, pack, d)
+        ).reshape(bsz, pack * d)
 
     admm_schedule = (cfg.ns_admm_a0, cfg.ns_admm_scaled_iters,
                      cfg.ns_quad_iters, cfg.ns_hi_iters)
@@ -680,21 +701,22 @@ def admm_mpc_batched(
             tail = min(cfg.f32_tail_iters, n_seg) if last else 0
             carry = run(carry, inv_fullp, inv16p, rhoP, n_seg - tail, tail)
             if not last:
-                # OSQP adaptive-rho (per system) + ONE cheap warm
-                # refactorization (warm-seeded from the current inverse:
-                # rho usually moves by a small factor, so the quadratic
-                # warm schedule converges; decade moves hit the in-kernel
-                # guard and refactorize cold):
-                # lets hard cone-binding active sets converge in far fewer
+                # OSQP adaptive-rho (per scenario) + ONE cheap COLD
+                # refactorization (the short ADMM-grade NS schedule; a
+                # warm-seeded kernel was measured slower — see
+                # ops/ns_inverse.py warm-NS STATUS note): lets hard
+                # cone-binding active sets converge in far fewer
                 # iterations than any fixed rho.
                 xs, zs, ys = carry
                 ax = jnp.matmul(xs, at_pad, precision=_HI)[:, :m]
                 hx = jnp.einsum("bij,bj->bi", hess_n, xs[:, :n],
                                 precision=_HI)
                 aty = jnp.matmul(ys, a_pad, precision=_HI)[:, :n]
-                fac = _adapt_rho_factor(cfg, ax, zs[:, :m], hx, grad_n, aty)
+                fac = _adapt_rho_factor(
+                    cfg, per_scn(ax), per_scn(zs[:, :m]), per_scn(hx),
+                    per_scn(grad_n), per_scn(aty))
                 rhoP = jnp.ones((bsz, mp_), dtype).at[:, :m].set(
-                    rho * fac[:, None])
+                    rho * scn_fac_rows(fac, m // pack))
                 solve_s = build_solver(rhoP[:, :m], schedule=admm_schedule)
                 inv_fullp, inv16p = padded_inverse(solve_s)
         xp, zp, yp = carry
@@ -746,9 +768,10 @@ def admm_mpc_batched(
                 # OSQP adaptive-rho (see the padded branch for rationale)
                 xs, zs, ys = carry
                 hx = jnp.einsum("bij,bj->bi", hess_n, xs, precision=_HI)
-                fac = _adapt_rho_factor(cfg, apply_a(xs), zs, hx, grad_n,
-                                        apply_at(ys))
-                rho_c = rho * fac[:, None]
+                fac = _adapt_rho_factor(
+                    cfg, per_scn(apply_a(xs)), per_scn(zs), per_scn(hx),
+                    per_scn(grad_n), per_scn(apply_at(ys)))
+                rho_c = rho * scn_fac_rows(fac, m_full // pack)
                 solve_c = build_solver(rho_c, schedule=admm_schedule)
         x, z, y = carry
 
@@ -770,7 +793,7 @@ def admm_mpc_batched(
     def viol(v):
         av = apply_a(v)
         per_row = jnp.maximum(l - av, jnp.where(finite_u, av - u, -1.0))
-        return jnp.max(per_row, axis=-1)                      # (B,)
+        return jnp.max(per_scn(per_row), axis=-1)             # (B*pack,)
 
     def one_round(best_x, best_v, lo, hi, y_al, prev_inv=None,
                   prev_scale=None):
@@ -787,10 +810,14 @@ def admm_mpc_batched(
         x_p = solve(-grad_n + apply_at(w * bound - y_act))
         ax = apply_a(x_p)
         y_new = y_act + w * (ax - bound)
-        finite_p = jnp.all(jnp.isfinite(x_p), axis=-1)        # (B,)
+        finite_p = jnp.all(
+            jnp.isfinite(per_scn(x_p)), axis=-1)              # (B*pack,)
         v_p = jnp.where(finite_p, viol(x_p), jnp.inf)
-        take = (v_p < best_v)[:, None]
-        best_x = jnp.where(take, x_p, best_x)
+        take = (v_p < best_v)[:, None]                        # per scenario
+        nsc = n // pack
+        best_x = jnp.where(
+            take, per_scn(x_p), best_x.reshape(bsz * pack, nsc)
+        ).reshape(bsz, n)
         best_v = jnp.minimum(v_p, best_v)
         lo = (lo & (y_new <= 1e-9)) | (ax < l - 1e-6)
         hi = (hi & (y_new >= -1e-9)) | (finite_u & (ax > u + 1e-6))
