@@ -239,7 +239,20 @@ def control_tick(cfg: FrameworkConfig, state: FullControllerState,
         state.dsc, jnp.concatenate([gamepad, jnp.zeros(1, jnp.float32)]), cfg.dt
     )
     loco = _setup_command(cfg, core.locomotion, gamepad, se.rpy)
+    prev_mpc_h = loco.mpc_h
     loco, params, gait_number, omni = _select_gait(cfg, loco, cmd)
+
+    # warm-start hygiene: a gait or horizon switch invalidates the stored
+    # temporal warm triple (the shifted iterate no longer matches the new
+    # table's active-set structure) — reset it so the next MPC solve takes
+    # the full cold iteration budget; `solution_ok` remains the backstop
+    switched = (gait_number != loco.current_gait) | (loco.mpc_h != prev_mpc_h)
+    zero_on_switch = lambda a: jnp.where(switched, jnp.zeros_like(a), a)
+    loco = loco.replace(
+        mpc_warm_x=zero_on_switch(loco.mpc_warm_x),
+        mpc_warm_z=zero_on_switch(loco.mpc_warm_z),
+        mpc_warm_y=zero_on_switch(loco.mpc_warm_y),
+    )
 
     # standing transition capture (ConvexMPCLocomotion.cpp:137-146)
     entering_stand = ((gait_number == 4) & (loco.current_gait != 4)) | loco.first_run

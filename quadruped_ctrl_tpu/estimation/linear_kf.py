@@ -115,7 +115,7 @@ def run(
     # covariance — MXU matmuls instead of XLA's serial factorization loops)
     ey = y - C @ xhat
     s = C @ pm @ C.T + jnp.diag(r_diag)
-    d = lax.rsqrt(jnp.diagonal(s))
+    d = lax.rsqrt(jnp.maximum(jnp.diagonal(s), 1e-30))
     ss = s * d[:, None] * d[None, :]
     eye28 = jnp.eye(28, dtype=s.dtype)
     x = (1.0 / jnp.max(jnp.sum(jnp.abs(ss), axis=-1))) * eye28

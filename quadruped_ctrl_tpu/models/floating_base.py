@@ -12,16 +12,17 @@ src/Dynamics/Quadruped.cpp:117-206): a fixed 13-body kinematic tree (base +
 * forward dynamics qdd = M^-1 (tau - h) (the reference's runABA computes the
   same quantity by a different recursion; here CRBA+RNEA+solve keeps the
   whole computation batched MXU matmuls with static shapes),
-* rotor (gearbox) handling as RIGID rotors + reflected spin inertia: each
-  rotor's full spatial inertia (mass 0.055 kg, transverse+spin rotational
-  inertia — axisymmetric about its spin axis, so constant in parent
-  coordinates) is folded into its parent body, and the geared spin term
-  gear^2 * I_spin is added on the joint diagonal. Versus the reference's
-  explicit geared rotor bodies (Quadruped.cpp:117-206, MiniCheetah.h:51-109)
-  this drops ONLY the gear^1 gyroscopic coupling terms (magnitude
-  gear * I_spin ~ 6e-4, quantified in tests/test_dynamics_golden.py against
-  the compiled reference's rotor-exact CRBA/ABA); mass (8.91 kg total,
-  matching the MPC's 9 kg SRB) and all static inertia terms are exact.
+* rotor (gearbox) handling EXACTLY as the reference's explicit geared rotor
+  bodies (Quadruped.cpp:117-206, MiniCheetah.h:51-109): each rotor's full
+  spatial inertia (mass 0.055 kg, axisymmetric about its spin axis) enters
+  through the Srot = gear * axis motion subspace and the parent->rotor
+  Xuprot transform, carrying the gear^2 spin term on the joint diagonal,
+  the static X' I X part on the parent, AND the gear^1 couplings
+  Xuprot'(Irot Srot) in CRBA/RNEA/ABA (see `_rotor_xforms`, `mass_matrix`,
+  `inverse_dynamics`, `aba_qdd`). Golden-tested against the compiled
+  reference's rotor-exact CRBA/ABA (tests/test_dynamics_golden.py: mass
+  matrix ~6e-4 abs, ABA qdd ~1e-4 rad/s^2); total mass 8.91 kg matches the
+  MPC's 9 kg SRB.
 
 Velocity convention: `base_vel` is the base's spatial velocity [omega; v] in
 BASE coordinates; q (12,) joint angles in the leg_kinematics convention

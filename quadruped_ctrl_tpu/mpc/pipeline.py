@@ -175,6 +175,26 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
         probe = (jnp.sum(hess, axis=(1, 2)) + jnp.sum(grad, axis=1)) * 1e-12
         return jnp.broadcast_to(probe[:, None, None, None], (b, h, 4, 3))
 
+    # The fused single-kernel solver (ops/fused_admm.py) is opt-in: it is
+    # differential-tested correct, but its per-system sequential iterate
+    # phase loses to the XLA batched path on v5e (13k vs 31k solves/s) —
+    # per-system 128-dim matvecs cannot keep the MXU busy.
+    if use_fused is None:
+        use_fused = False
+    if use_fused:
+        # the fused kernel's in-kernel polish best-iterate selection and
+        # violation reductions run over the WHOLE system, so packed
+        # scenarios would contaminate each other's polish choice — solve
+        # each scenario in its own (padded) tile instead of packing
+        xp = admm.admm_mpc_fused(
+            cfg.solver, cfg.mpc, hess, grad, gait_red,
+            iterations=iterations, polish_rounds=polish_rounds,
+        )
+        x_red = xp.reshape(b, n_c)
+        return jax.vmap(lambda xr, fi: formation.scatter_forces(xr, fi, h))(
+            x_red, foot_idx
+        )
+
     # pack `pack` scenarios block-diagonally
     hp = hess.reshape(b // pack, pack, n_c, n_c)
     kp = jnp.zeros((b // pack, pack * n_c, pack * n_c), hess.dtype)
@@ -185,22 +205,10 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
     gp = grad.reshape(b // pack, pack * n_c)
     gaitp = gait_red.reshape(b // pack, pack * h, max_stance)
 
-    # The fused single-kernel solver (ops/fused_admm.py) is opt-in: it is
-    # differential-tested correct, but its per-system sequential iterate
-    # phase loses to the XLA batched path on v5e (13k vs 31k solves/s) —
-    # per-system 128-dim matvecs cannot keep the MXU busy.
-    if use_fused is None:
-        use_fused = False
-    if use_fused:
-        xp = admm.admm_mpc_fused(
-            cfg.solver, cfg.mpc, kp, gp, gaitp,
-            iterations=iterations, polish_rounds=polish_rounds,
-        )
-    else:
-        xp = admm.admm_mpc_batched(
-            cfg.solver, cfg.mpc, kp, gp, gaitp,
-            iterations=iterations, polish_rounds=polish_rounds, pack=pack,
-        )                                             # (B/pack, pack*n_c)
+    xp = admm.admm_mpc_batched(
+        cfg.solver, cfg.mpc, kp, gp, gaitp,
+        iterations=iterations, polish_rounds=polish_rounds, pack=pack,
+    )                                                 # (B/pack, pack*n_c)
     x_red = xp.reshape(b, n_c)
     return jax.vmap(lambda xr, fi: formation.scatter_forces(xr, fi, h))(
         x_red, foot_idx

@@ -46,6 +46,19 @@ def load(path: str, example_tree, fingerprint: dict | None = None):
                 f"checkpoint {path} was written by a different run: "
                 f"stored fingerprint {stored} != requested {want}"
             )
+    elif fingerprint is not None:
+        # legacy checkpoint written before fingerprints existed: it cannot
+        # be validated against the requested run parameters. Surface that
+        # loudly; a structural mismatch (e.g. a leaf added since) still
+        # raises below, and such checkpoints should be discarded.
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {path} has no stored fingerprint (pre-fingerprint "
+            "revision); run-parameter validation skipped — discard it if the "
+            "sweep parameters may have changed",
+            stacklevel=2,
+        )
     n = int(data["n_leaves"])
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
     example_leaves = jax.tree.leaves(example_tree)
