@@ -170,6 +170,25 @@ def main():
         lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=2, pack=2),
         inputs16, 4,
     )
+    # mid-band lane: the aio walking->trot morph band (0.2 < v <= 0.4,
+    # ConvexMPCLocomotion.cpp:174-233) is a 3-STANCE h=16 gait, so it
+    # compresses to ms=3 (144-var systems on the 256 kernel tile) instead
+    # of running uncompressed 192-var
+    v_band = 0.3
+    o2 = int(np.floor(h16 * 1.25 * v_band))
+    o3 = int(np.floor(h16 * (1.25 * v_band + 0.5)))
+    dwt = int(np.floor(h16 * (-1.25 * v_band + 1.0)))
+    offs = np.array([0, h16 // 2, o2, o3])
+    steps = np.arange(h16)[:, None]
+    tbl = (((steps - offs[None, :]) % h16) < dwt).astype(np.float32)
+    assert tbl.sum(axis=1).max() <= 3 * h16 and (tbl.sum(1) >= 1).all()
+    inputs16m = inputs16.replace(
+        gait_table=jnp.broadcast_to(jnp.asarray(tbl), (b16, h16, 4))
+    )
+    t16m = timed(
+        lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=3, pack=1),
+        inputs16m, 4,
+    )
 
     solves_per_s = batch / t_full
     print(
@@ -184,6 +203,9 @@ def main():
                 "h16_trot_solves_per_s": round(b16 / t16t, 1),
                 "h16_trot_unit": "solves/s (h=16 fast-trot band, 2-stance "
                                  "compressed + pair-packed)",
+                "h16_midband_solves_per_s": round(b16 / t16m, 1),
+                "h16_midband_unit": "solves/s (h=16 aio walking band, "
+                                    "3-stance compressed, 144-var/256-tile)",
                 "phases": phases,
             }
         )

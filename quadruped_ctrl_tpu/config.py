@@ -180,6 +180,29 @@ class SolverConfig:
     # estimate alongside the z-proximity rows — a better round-0 active set
     # lets a smaller polish_rounds reach the oracle. 0 disables (z-only).
     polish_dual_seed_tol: float = 0.0
+    # Woodbury polish refinement (batched path): rounds 1..k apply the
+    # active-set weight flips as a rank-r Woodbury correction of the
+    # previous round's inverse (capacitance via a batched pivoted
+    # Gauss-Jordan), warm-starting a ns_wb_quad+ns_wb_hi Newton-Schulz
+    # refactorization — 2 iterations instead of the 12-iteration cold
+    # schedule per round.
+    # STATUS: OFF — measured numerically unsound in f32 at the polish
+    # conditioning. The correction amplifies the stored inverse's error by
+    # ~w_act: constraint ADDITIONS stay refinable (warm-NS residual ~0.2),
+    # but REMOVING a dominant +1e4 penalty row lands at residual ~300
+    # (divergent; exact in f64 — verified), and the polish's hard scenarios
+    # need removals: the 72-case battery fails by ~14 N with every variant
+    # tried (round-0-anchored and chained updates, rank 8-32, clamped
+    # working-set churn, additions-only). Kept as the candidate for
+    # hardware with f64 or extended-precision accumulation; the cold
+    # per-round factorization (the JCQP/qpOASES refactorization role,
+    # SolverMPC.cpp:530-532) remains the production path.
+    polish_woodbury: bool = False
+    polish_woodbury_rank: int = 8
+    # Warm-NS schedule for the Woodbury-seeded refactorization (quadratic
+    # bf16x3 + HIGHEST tail; see ops/ns_inverse.py:ns_inverse_pallas_refine).
+    ns_wb_quad: int = 1
+    ns_wb_hi: int = 1
     # Active-set penalty weight of the polish solves (force-normalized
     # units). 1e4 pins active rows to ~|dual|/w_act before the AL dual
     # correction; it also sets the polish K's conditioning (~1e5), and

@@ -124,6 +124,42 @@ def run_estimators(cfg: FrameworkConfig, est: EstimatorState, sensors: Sensors,
     return est, se
 
 
+def run_estimators_batched(cfg: FrameworkConfig, est: EstimatorState,
+                           sensors: Sensors, prev_leg: LegData):
+    """Batch-explicit `run_estimators`: the orientation/contact parts vmap
+    per scenario (cheap vector algebra); the KF runs batch-last through
+    `linear_kf.run_batched` (see its docstring for the TPU layout design)."""
+    est, ori = jax.vmap(orientation.run)(est, sensors)
+    hips = jnp.asarray(cfg.robot.hip_locations())
+    xhat, p_cov, position, v_world, v_body = linear_kf.run_batched(
+        cfg.estimator,
+        est.kf_xhat,
+        est.kf_P,
+        ori["a_world"],
+        ori["r_body"],
+        ori["omega_body"],
+        hips,
+        prev_leg.p,
+        prev_leg.v,
+        est.contact_phase,
+    )
+    est = est.replace(kf_xhat=xhat, kf_P=p_cov)
+    se = StateEstimate(
+        position=position,
+        v_world=v_world,
+        v_body=v_body,
+        orientation=ori["orientation"],
+        r_body=ori["r_body"],
+        rpy=ori["rpy"],
+        omega_body=ori["omega_body"],
+        omega_world=ori["omega_world"],
+        a_body=ori["a_body"],
+        a_world=ori["a_world"],
+        contact_estimate=est.contact_phase,
+    )
+    return est, se
+
+
 def apply_vel_deadband(cfg: FrameworkConfig, vel):
     """SetRobotVel's +-0.03 deadband (GaitCtrller.cpp:75-93)."""
     return jnp.where(jnp.abs(vel) < cfg.control.vel_deadband, 0.0, vel)
@@ -217,11 +253,29 @@ def control_tick(cfg: FrameworkConfig, state: FullControllerState,
 
     tick_ctx carries what `mpc_update` needs (gait table, estimate, feet).
     """
+    # --- estimation (with one-tick leg-data lag, as in the reference) ---
+    est, se = run_estimators(cfg, state.core.estimator, sensors,
+                             state.prev_leg)
+    return _tick_after_estimation(cfg, state, sensors, cmd, est, se)
+
+
+@exact_matmuls
+def control_tick_batched(cfg: FrameworkConfig, state, sensors, cmd):
+    """Batch-explicit `control_tick`: the KF covariance recursion runs
+    through `run_estimators_batched` (batch-last sequential-update filter —
+    the closed-loop bottleneck per SWEEP_r03), everything else vmaps per
+    scenario. Semantically jax.vmap(control_tick)."""
+    est, se = run_estimators_batched(cfg, state.core.estimator, sensors,
+                                     state.prev_leg)
+    return jax.vmap(
+        lambda st, sn, c, e, s: _tick_after_estimation(cfg, st, sn, c, e, s)
+    )(state, sensors, cmd, est, se)
+
+
+def _tick_after_estimation(cfg: FrameworkConfig, state: FullControllerState,
+                           sensors: Sensors, cmd: Command, est, se):
     core = state.core
     dt = cfg.dt
-
-    # --- estimation (with one-tick leg-data lag, as in the reference) ---
-    est, se = run_estimators(cfg, core.estimator, sensors, state.prev_leg)
     leg = leg_controller.update_data(cfg.robot, sensors.q, sensors.qd)
 
     # --- safety: orientation check + joint-limit clamp (GaitCtrller.cpp:108-123)
@@ -371,12 +425,13 @@ def control_tick(cfg: FrameworkConfig, state: FullControllerState,
     return state, ctx
 
 
-def _mpc_problem_parts(cfg: FrameworkConfig, state: FullControllerState, ctx,
-                       h_sol: int):
-    """Shared formation inputs for the (full or stance-compressed) QP build:
-    reference trajectory, x-drag, SRB linearization + discretization, step
-    mask and contact table over the first `h_sol` table rows
-    (solveDenseMPC's pre-cost half, ConvexMPCLocomotion.cpp:592-665)."""
+def _mpc_problem_inputs(cfg: FrameworkConfig, state: FullControllerState, ctx,
+                        h_sol: int):
+    """Pre-dynamics formation inputs: reference trajectory, x-drag, x0, step
+    mask and contact table over the first `h_sol` table rows — everything of
+    solveDenseMPC's pre-cost half (ConvexMPCLocomotion.cpp:592-665) except
+    the SRB linearization itself, so batched callers can run the dynamics
+    through the batch-explicit closed form (formation.srb_discrete)."""
     loco = state.core.locomotion
     se: StateEstimate = ctx["se"]
 
@@ -404,9 +459,6 @@ def _mpc_problem_parts(cfg: FrameworkConfig, state: FullControllerState, ctx,
     )
 
     r_feet = ctx["p_foot"] - se.position[None, :]
-    a_ct, b_ct = formation.srb_ct_dynamics(cfg.mpc, r_feet, se.rpy[2], x_drag)
-    adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
-
     x0 = formation.build_x0(
         se.rpy, se.position, se.omega_world, se.v_world, cfg.mpc.gravity
     )
@@ -416,6 +468,18 @@ def _mpc_problem_parts(cfg: FrameworkConfig, state: FullControllerState, ctx,
     # with the table from Gait::getMpcTable over the gait's _nIterations)
     step_mask = (jnp.arange(h_sol) < loco.mpc_h).astype(jnp.float32)
     table = ctx["mpc_table"][:h_sol] * step_mask[:, None]
+    return (r_feet, se.rpy[2], x_drag, x0, traj, step_mask, table, wpd,
+            x_comp)
+
+
+def _mpc_problem_parts(cfg: FrameworkConfig, state: FullControllerState, ctx,
+                       h_sol: int):
+    """`_mpc_problem_inputs` + the SRB discretized dynamics (per-scenario
+    closed form)."""
+    (r_feet, yaw, x_drag, x0, traj, step_mask, table, wpd, x_comp) = \
+        _mpc_problem_inputs(cfg, state, ctx, h_sol)
+    adt, bdt = formation.srb_discrete(cfg.mpc, r_feet, yaw, x_drag,
+                                      cfg.dt_mpc)
     return adt, bdt, x0, traj, step_mask, table, wpd, x_comp
 
 
@@ -537,9 +601,21 @@ def mpc_update_batched(cfg: FrameworkConfig, state: FullControllerState, ctx,
             cfg, state, ctx, h_sol, iterations, polish_rounds, max_stance,
             pack,
         )
-    hess, grad, table, wpd, x_comp = jax.vmap(
-        lambda s, c: _mpc_problem(cfg, s, c, h_sol)
+    # batch-explicit formation: cheap per-scenario prologue under vmap, then
+    # the closed-form dynamics + sqrt-S-folded cost over the whole batch
+    # (identity selection = the uncompressed 12*h_sol layout)
+    (r_feet, yaw, x_drag, x0, traj, step_mask, table, wpd, x_comp) = jax.vmap(
+        lambda s, c: _mpc_problem_inputs(cfg, s, c, h_sol)
     )(state, ctx)
+    adt, bdt = formation.srb_discrete(cfg.mpc, r_feet, yaw, x_drag,
+                                      cfg.dt_mpc)
+    bsz = r_feet.shape[0]
+    sel4 = jnp.broadcast_to(
+        jnp.eye(4, dtype=jnp.float32)[None, None], (bsz, h_sol, 4, 4)
+    )
+    hess, grad = formation.qp_cost_compressed_nil_sel(
+        cfg.mpc, adt, bdt, x0, traj, step_mask, sel4
+    )
     warm = jax.vmap(lambda s: _warm_slices(s.core.locomotion, h_sol))(state)
     x, warm_out = admm.admm_mpc_batched(
         cfg.solver, cfg.mpc, hess, grad, table,
@@ -572,9 +648,18 @@ def _mpc_update_batched_packed(cfg: FrameworkConfig, state, ctx, h_sol: int,
     table rolling one segment between solves."""
     h_max = cfg.mpc.h_max
     ms = max_stance
-    hess, grad, foot_idx, gait_red, table, wpd, x_comp = jax.vmap(
-        lambda s, c: _mpc_problem_compressed(cfg, s, c, h_sol, ms)
+    # batch-explicit formation (see mpc_update_batched): vmapped prologue,
+    # then closed-form dynamics + sortless stance selection + sqrt-S-folded
+    # compressed cost over the whole batch
+    (r_feet, yaw, x_drag, x0, traj, step_mask, table, wpd, x_comp) = jax.vmap(
+        lambda s, c: _mpc_problem_inputs(cfg, s, c, h_sol)
     )(state, ctx)
+    adt, bdt = formation.srb_discrete(cfg.mpc, r_feet, yaw, x_drag,
+                                      cfg.dt_mpc)
+    foot_idx, gait_red, sel = formation.stance_selectors(table, ms)
+    hess, grad = formation.qp_cost_compressed_nil_sel(
+        cfg.mpc, adt, bdt, x0, traj, step_mask, sel
+    )
     b = hess.shape[0]
     if b % pack != 0:
         pack = 1        # odd batches still compress; they just don't pack

@@ -150,3 +150,153 @@ def run(
     v_world = xhat[3:6]
     v_body = r_body @ v_world
     return xhat, p_cov, position, v_world, v_body
+
+
+def _meas_rows():
+    """The 28 measurement rows of C as (j1, j2) index pairs: each row is
+    e_j1 - e_j2 (j2 = None for single-entry rows). Mirrors _static_mats."""
+    rows = []
+    for f in range(4):                      # p - p_foot (world-relative)
+        for ax in range(3):
+            rows.append((ax, 6 + 3 * f + ax))
+    for f in range(4):                      # body velocity
+        for ax in range(3):
+            rows.append((3 + ax, None))
+    for f in range(4):                      # foot height
+        rows.append((6 + 3 * f + 2, None))
+    return rows
+
+
+def run_batched(
+    cfg: EstimatorConfig,
+    xhat,                # (B,18)
+    p_cov,               # (B,18,18)
+    a_world,             # (B,3)
+    r_body,              # (B,3,3)
+    omega_body,          # (B,3)
+    hip_locations,       # (4,3) static
+    leg_p,               # (B,4,3)
+    leg_v,               # (B,4,3)
+    contact_phase,       # (B,4)
+):
+    """Batch-explicit KF step, identical estimate to `run` per scenario.
+
+    TPU redesign of the hot closed-loop path (SWEEP_r03: the (B,18,18) /
+    (B,28,28) covariance matmul chains pad their 18/28-wide minor dims to
+    128 lanes — ~7-10x HBM bloat per op — and the 28x28 innovation inverse
+    costs 36 batched matmuls per tick). Two structural changes, both exact:
+
+    * the covariance lives BATCH-LAST, (18,18,B): the batch rides the lane
+      dimension, so every covariance op is a full-width vector op with ~1.3x
+      padding instead of ~7x;
+    * the joint 28-measurement update is processed as 28 SEQUENTIAL scalar
+      updates — textbook-exact for the diagonal R this filter has (the
+      reference's R0 + trust scaling is diagonal,
+      PositionVelocityEstimator.cpp:45-57) — so the 28x28 innovation solve
+      (two LU solves in the reference, a Newton-Schulz inverse in `run`)
+      disappears entirely: each row's gain is a slice difference of P
+      columns over a scalar innovation variance.
+
+    Per-scenario `run` remains the differential reference; parity is tested
+    in tests/test_estimation.py.
+    """
+    dt = cfg.dt
+    dtype = xhat.dtype
+    _, _, _, q0_diag, r0_diag = _static_mats(cfg)
+    q0_diag = jnp.asarray(q0_diag)
+    r0_diag = jnp.asarray(r0_diag)
+
+    g = jnp.array([0.0, 0.0, -cfg.gravity], dtype=dtype)
+    rbod = jnp.swapaxes(r_body, -1, -2)
+    a = a_world + g
+
+    p0, v0 = xhat[:, 0:3], xhat[:, 3:6]
+    p_rel = hip_locations[None] + leg_p                  # (B,4,3) body frame
+    p_f = jnp.einsum("bij,bfj->bfi", rbod, p_rel)        # world frame
+    dp_f = jnp.einsum(
+        "bij,bfj->bfi", rbod,
+        jnp.cross(jnp.broadcast_to(omega_body[:, None, :], p_rel.shape),
+                  p_rel) + leg_v,
+    )
+
+    phase = jnp.minimum(contact_phase, 1.0)
+    tw = cfg.trust_window
+    trust = jnp.where(
+        phase < tw, phase / tw,
+        jnp.where(phase > 1.0 - tw, (1.0 - phase) / tw, 1.0),
+    )
+    suspect = 1.0 + (1.0 - trust) * cfg.high_suspect_number  # (B,4)
+
+    q_diag = jnp.concatenate([
+        jnp.broadcast_to(q0_diag[0:6], (xhat.shape[0], 6)),
+        (q0_diag[6:18].reshape(4, 3)[None] * suspect[:, :, None]
+         ).reshape(-1, 12),
+    ], axis=1)                                            # (B,18)
+    r_diag = jnp.concatenate([
+        jnp.broadcast_to(r0_diag[0:12], (xhat.shape[0], 12)),
+        (r0_diag[12:24].reshape(4, 3)[None] * suspect[:, :, None]
+         ).reshape(-1, 12),
+        r0_diag[None, 24:28] * suspect,
+    ], axis=1)                                            # (B,28)
+
+    ps = (-p_f).reshape(-1, 12)
+    vs = ((1.0 - trust)[:, :, None] * v0[:, None, :]
+          + trust[:, :, None] * (-dp_f)).reshape(-1, 12)
+    pzs = (1.0 - trust) * (p0[:, 2:3] + p_f[:, :, 2])
+    y = jnp.concatenate([ps, vs, pzs], axis=1)            # (B,28)
+
+    # predict: A = I + dt E (E: p<-v), B a = dt a on v — slice algebra
+    x = jnp.concatenate([p0 + dt * v0, v0 + dt * a, xhat[:, 6:18]],
+                        axis=1).T                         # (18,B)
+    pm = jnp.transpose(p_cov, (1, 2, 0))                  # (18,18,B)
+    pm = jnp.concatenate([pm[0:3] + dt * pm[3:6], pm[3:18]], axis=0)
+    pm = jnp.concatenate([pm[:, 0:3] + dt * pm[:, 3:6], pm[:, 3:18]],
+                         axis=1)
+    eye18 = jnp.eye(18, dtype=dtype)
+    pm = pm + eye18[:, :, None] * q_diag.T[:, None, :]
+
+    # sequential scalar updates (exact: R is diagonal), in JOSEPH form:
+    # P <- (I - k c')P(I - k c') + r k k', evaluated as two rank-1 passes.
+    # The plain P - k(Pc)' update is algebraically identical but f32-fragile
+    # during the initial_p=100 transient (prior/measurement variance ratio
+    # ~1e5: the surviving 1e-3 variance is the cancellation residue of two
+    # ~1e2 terms); the Joseph form keeps the filter symmetric-PSD through
+    # the same transient at the cost of a second pass over P per row.
+    y_t = y.T                                             # (28,B)
+    r_t = r_diag.T
+
+    def p_col(p, j1, j2):
+        if j2 is None:
+            return p[:, j1, :]                            # (18,B) = P c
+        return p[:, j1, :] - p[:, j2, :]
+
+    for i, (j1, j2) in enumerate(_meas_rows()):
+        pmc = p_col(pm, j1, j2)
+        cx = x[j1] - (x[j2] if j2 is not None else 0.0)
+        s = (pmc[j1] - (pmc[j2] if j2 is not None else 0.0)) + r_t[i]
+        gain = pmc / s[None, :]
+        x = x + gain * (y_t[i] - cx)[None, :]
+        pm = pm - gain[:, None, :] * pmc[None, :, :]      # (I - kc')P
+        p1c = p_col(pm, j1, j2)                           # ((I-kc')P) c
+        pm = (pm - p1c[:, None, :] * gain[None, :, :]
+              + (r_t[i][None, :] * gain)[:, None, :] * gain[None, :, :])
+
+    pm = 0.5 * (pm + jnp.transpose(pm, (1, 0, 2)))
+
+    # xy-covariance conditioning hack (reference lines 191-195)
+    det2 = pm[0, 0] * pm[1, 1] - pm[0, 1] * pm[1, 0]      # (B,)
+    cond = det2 > 1e-6
+    mask = jnp.ones((18, 18), dtype=bool)
+    mask = mask.at[0:2, 2:18].set(False).at[2:18, 0:2].set(False)
+    p_fixed = jnp.where(mask[:, :, None], pm, 0.0)
+    scale2 = jnp.ones((18, 18), dtype)
+    scale2 = scale2.at[0:2, 0:2].set(0.1)
+    p_fixed = p_fixed * scale2[:, :, None]
+    pm = jnp.where(cond[None, None, :], p_fixed, pm)
+
+    xhat_out = x.T
+    p_cov_out = jnp.transpose(pm, (2, 0, 1))
+    position = xhat_out[:, 0:3]
+    v_world = xhat_out[:, 3:6]
+    v_body = jnp.einsum("bij,bj->bi", r_body, v_world)
+    return xhat_out, p_cov_out, position, v_world, v_body

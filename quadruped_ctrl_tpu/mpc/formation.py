@@ -231,10 +231,193 @@ def pyramid_gram(cfg_mpc: MPCConfig, rho):
 
 
 def build_x0(rpy, position, omega_world, v_world, gravity):
-    """Initial condensed-MPC state (SolverMPC.cpp:314-318)."""
-    return jnp.concatenate(
-        [rpy, position, omega_world, v_world, jnp.asarray([-gravity], rpy.dtype)]
+    """Initial condensed-MPC state (SolverMPC.cpp:314-318). Accepts leading
+    batch dims."""
+    g = jnp.broadcast_to(
+        jnp.asarray([-gravity], rpy.dtype), rpy.shape[:-1] + (1,)
     )
+    return jnp.concatenate([rpy, position, omega_world, v_world, g], axis=-1)
+
+
+def srb_discrete(cfg_mpc: MPCConfig, r_feet, yaw, x_drag, dt):
+    """Closed-form (Adt, Bdt): `srb_ct_dynamics` + `discretize` fused,
+    evaluated SPARSELY. Batched over arbitrary leading dims.
+
+    The generic path assembles a dense 13x13 A with ~15 scatter updates, a
+    batched 3x3 linalg.inv, and three 13x13 matmul chains — thousands of
+    tiny XLA ops per scenario batch that dominated the measured formation
+    phase. But the SRB A has only four nonzero blocks (rpy<-omega, p<-v,
+    vz<-drag*vx, vz<-g) and A^2 exactly TWO nonzero entries
+    (A2[5,9]=x_drag, A2[5,12]=1), and I_world^-1 = R_yaw I_body^-1 R_yaw'
+    in closed form (I_body diagonal) — so Adt = I + dt A + dt^2/2 A^2 and
+    Bdt = (dt I + dt^2/2 A + dt^3/6 A^2) B reduce to a handful of batched
+    3x12 block products. Identical values to the generic path (differential-
+    tested); reference: SolverMPC.cpp:87-95 + :235-254.
+    """
+    dtype = r_feet.dtype
+    lead = r_feet.shape[:-2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    # R_yaw^T rows (world->yaw frame)
+    ryaw_t = jnp.stack([
+        jnp.stack([c, s, zero], axis=-1),
+        jnp.stack([-s, c, zero], axis=-1),
+        jnp.stack([zero, zero, one], axis=-1),
+    ], axis=-2)                                               # (...,3,3)
+
+    ix, iy, iz = (float(v) for v in cfg_mpc.inertia)
+    a_, b_ = 1.0 / ix, 1.0 / iy
+    iinv = jnp.stack([
+        jnp.stack([a_ * c * c + b_ * s * s, (a_ - b_) * c * s, zero], axis=-1),
+        jnp.stack([(a_ - b_) * c * s, a_ * s * s + b_ * c * c, zero], axis=-1),
+        jnp.stack([zero, zero, one / iz], axis=-1),
+    ], axis=-2)                                               # (...,3,3)
+
+    rx_, ry_, rz_ = r_feet[..., 0], r_feet[..., 1], r_feet[..., 2]
+    zf = jnp.zeros_like(rx_)
+    rx = jnp.stack([
+        jnp.stack([zf, -rz_, ry_], axis=-1),
+        jnp.stack([rz_, zf, -rx_], axis=-1),
+        jnp.stack([-ry_, rx_, zf], axis=-1),
+    ], axis=-2)                                               # (...,4,3,3)
+    tb = jnp.einsum("...ij,...fjk->...fik", iinv, rx, precision=_HI)
+    tb_flat = jnp.swapaxes(tb, -3, -2).reshape(lead + (3, 12))
+
+    import numpy as np
+    m = cfg_mpc.mass
+    base = np.eye(13, dtype=np.float32)
+    base[3, 9] = base[4, 10] = base[5, 11] = dt
+    base[11, 12] = dt
+    base[5, 12] = 0.5 * dt * dt
+    # scatter-free assembly: .at[...].set on a (B,13,13) lowers to batched
+    # dynamic-update-slice (~0.4 ms EACH at B=4096, profiled); a pad + a
+    # static-mask multiply fuse into one elementwise pass instead
+    xd_mask = np.zeros((13, 13), dtype=np.float32)
+    xd_mask[11, 9] = dt
+    xd_mask[5, 9] = 0.5 * dt * dt
+    pad_widths = [(0, 0)] * len(lead) + [(0, 10), (6, 4)]
+    adt = (jnp.asarray(base, dtype)
+           + jnp.pad(dt * ryaw_t, pad_widths)
+           + x_drag[..., None, None] * jnp.asarray(xd_mask, dtype))
+
+    eye3x4 = np.tile(np.eye(3, dtype=np.float32), (1, 4))     # (3,12)
+    xsel = jnp.asarray(eye3x4[0], dtype)                      # fx columns
+    r03 = (0.5 * dt * dt) * jnp.einsum(
+        "...ij,...jk->...ik", ryaw_t, tb_flat, precision=_HI)
+    s35 = (0.5 * dt * dt / m) * jnp.asarray(eye3x4, dtype)
+    row5 = jnp.broadcast_to(s35[2], lead + (12,)) \
+        + (dt**3 / 6.0 / m) * x_drag[..., None] * xsel
+    r35 = jnp.stack([
+        jnp.broadcast_to(s35[0], lead + (12,)),
+        jnp.broadcast_to(s35[1], lead + (12,)),
+        row5,
+    ], axis=-2)
+    r69 = dt * tb_flat
+    s912 = (dt / m) * jnp.asarray(eye3x4, dtype)
+    row11 = jnp.broadcast_to(s912[2], lead + (12,)) \
+        + (0.5 * dt * dt / m) * x_drag[..., None] * xsel
+    r912 = jnp.stack([
+        jnp.broadcast_to(s912[0], lead + (12,)),
+        jnp.broadcast_to(s912[1], lead + (12,)),
+        row11,
+    ], axis=-2)
+    r12 = jnp.zeros(lead + (1, 12), dtype)
+    bdt = jnp.concatenate([r03, r35, r69, r912, r12], axis=-2)
+    return adt, bdt
+
+
+def stance_selectors(gait_table, max_stance: int):
+    """Sortless `compress_stance`, batched over leading dims.
+
+    argsort over the foot axis lowers to a per-scenario sort network; the
+    same stance-first stable order falls out of a rank-by-comparison over
+    the 4 distinct keys (1-gait)*4 + foot. Returns (foot_idx int32
+    (...,h,ms), gait_red (...,h,ms), sel (...,h,ms,4)) where sel is the
+    one-hot selection tensor `qp_cost_compressed_nil_sel` consumes
+    directly."""
+    g = gait_table
+    dtype = g.dtype
+    f = jnp.arange(4, dtype=dtype)
+    key = (1.0 - g) * 4.0 + f                                 # (...,h,4)
+    rank = jnp.sum(
+        (key[..., :, None] > key[..., None, :]).astype(jnp.int32), axis=-1
+    )                                                         # (...,h,4)
+    oh = jax.nn.one_hot(rank, 4, dtype=dtype)                 # (...,h,4,slot)
+    sel = jnp.swapaxes(oh, -1, -2)[..., :max_stance, :]       # (...,h,ms,4)
+    foot_idx = jnp.einsum("...sf,f->...s", sel, f).astype(jnp.int32)
+    gait_red = jnp.einsum("...sf,...f->...s", sel, g)
+    return foot_idx, gait_red, sel
+
+
+def qp_cost_compressed_nil_sel(
+    cfg_mpc: MPCConfig, adt, bdt, x0, x_d, step_mask, sel
+):
+    """`qp_cost_compressed_nil` with the selection tensor passed directly,
+    batched over arbitrary leading dims, and two structural speedups:
+
+    * sqrt-S folding: S = diag(mask_x * w_p) is separable, so sqrt(w_p) is
+      folded into the B-family and sqrt(mask_x) into the stacked rows —
+      H = bq_s' bq_s with ONE scaled operand (a full (13h x n_c) stream
+      fewer than bq' (S bq)), g = 2 bq_s' (sqrt(S) resid);
+    * the Toeplitz combine emits rows directly in (x,p) output order, so no
+      (h,h,13,ms,3) transpose materializes.
+
+    With sel = identity (ms=4) this IS the uncompressed qp_cost_nil.
+    """
+    dtype = adt.dtype
+    lead = x_d.shape[:-2]
+    h = x_d.shape[-2]
+    ms = sel.shape[-2]
+    n_c = h * ms * 3
+    eye13 = jnp.eye(13, dtype=dtype)
+    n1 = adt - eye13
+    n2 = jnp.einsum("...ij,...jk->...ik", n1, n1, precision=_HI)
+    bfam = jnp.stack(
+        [bdt,
+         jnp.einsum("...ij,...jk->...ik", n1, bdt, precision=_HI),
+         jnp.einsum("...ij,...jk->...ik", n2, bdt, precision=_HI)],
+        axis=-3,
+    )                                                         # (...,3,13,12)
+    w = jnp.concatenate(
+        [jnp.asarray(cfg_mpc.weights_arr(), dtype=dtype),
+         jnp.zeros(1, dtype=dtype)]
+    )
+    sqrt_w = jnp.sqrt(w)
+    sqrt_mask = jnp.sqrt(step_mask)                           # (...,h)
+    bfam_s = bfam * sqrt_w[:, None]                           # scale p rows
+    # layout-conscious Toeplitz combine (profiled): keep the (c,j,z)=n_c
+    # axis TRAILING everywhere — intermediates with a 3- or 6-wide minor
+    # dim pad to 128 lanes and every einsum batch-dim lowering inserts a
+    # full relayout copy. u lands as (...,3,13,n_c); the phi combine is a
+    # broadcast multiply-reduce over m=3 (static phi expanded over (j,z)),
+    # which XLA fuses into one pass — no dot_general batch-dim transposes.
+    u = jnp.einsum(
+        "...mpfz,...cjf->...mpcjz",
+        bfam_s.reshape(lead + (3, 13, 4, 3)), sel, precision=_HI,
+    ).reshape(lead + (3, 13, n_c))
+    phi = _phi_polys(h, dtype)                                # (3,h,h)
+    phiexp = jnp.repeat(phi, ms * 3, axis=-1)                 # (3,h,n_c)
+    bq = jnp.sum(
+        phiexp[:, :, None, :] * u[..., :, None, :, :], axis=-4
+    )                                                         # (...,h,13,n_c)
+    bq = (bq * sqrt_mask[..., :, None, None]).reshape(
+        lead + (h * 13, n_c))
+    hess = 2.0 * (
+        jnp.einsum("...kc,...kd->...cd", bq, bq, precision=_HI)
+        + cfg_mpc.alpha * jnp.eye(n_c, dtype=dtype)
+    )
+    nx0 = jnp.einsum("...ij,...j->...i", n1, x0, precision=_HI)
+    n2x0 = jnp.einsum("...ij,...j->...i", n2, x0, precision=_HI)
+    k = jnp.arange(1, h + 1, dtype=dtype)[:, None]
+    ax0 = (x0[..., None, :] + k * nx0[..., None, :]
+           + (0.5 * k * (k - 1.0)) * n2x0[..., None, :])      # (...,h,13)
+    resid = (ax0 - x_d) * (sqrt_mask[..., :, None] * sqrt_w)
+    grad = 2.0 * jnp.einsum(
+        "...kc,...k->...c", bq, resid.reshape(lead + (h * 13,)),
+        precision=_HI,
+    )
+    return hess, grad
 
 
 def compress_stance(gait_table, max_stance: int):

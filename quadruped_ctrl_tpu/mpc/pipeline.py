@@ -151,22 +151,24 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
     assert b % pack == 0
     h = inputs.gait_table.shape[1] if h is None else h
 
-    def form_one(inp):
-        a_ct, b_ct = formation.srb_ct_dynamics(
-            cfg.mpc, inp.r_feet, inp.rpy[2], inp.x_drag
-        )
-        adt, bdt = formation.discretize(a_ct, b_ct, cfg.dt_mpc)
-        x0 = formation.build_x0(
-            inp.rpy, inp.position, inp.omega_world, inp.v_world, cfg.mpc.gravity
-        )
-        foot_idx, gait_red = formation.compress_stance(inp.gait_table, max_stance)
-        step_mask = jnp.ones((h,), jnp.float32)
-        hess, grad = formation.qp_cost_compressed_nil(
-            cfg.mpc, adt, bdt, x0, inp.traj, step_mask, foot_idx
-        )
-        return hess, grad, gait_red, foot_idx
-
-    hess, grad, gait_red, foot_idx = jax.vmap(form_one)(inputs)
+    # batch-explicit formation: closed-form sparse dynamics, sortless stance
+    # selection, sqrt-S-folded transpose-free cost (formation.srb_discrete /
+    # stance_selectors / qp_cost_compressed_nil_sel) — measured ~2x the
+    # vmapped per-scenario path, which spent the phase in tiny scatter ops
+    adt, bdt = formation.srb_discrete(
+        cfg.mpc, inputs.r_feet, inputs.rpy[:, 2], inputs.x_drag, cfg.dt_mpc
+    )
+    x0 = formation.build_x0(
+        inputs.rpy, inputs.position, inputs.omega_world, inputs.v_world,
+        cfg.mpc.gravity,
+    )
+    foot_idx, gait_red, sel = formation.stance_selectors(
+        inputs.gait_table, max_stance
+    )
+    step_mask = jnp.ones((b, h), jnp.float32)
+    hess, grad = formation.qp_cost_compressed_nil_sel(
+        cfg.mpc, adt, bdt, x0, inputs.traj, step_mask, sel
+    )
     n_c = hess.shape[-1]
     if form_only:
         # benchmark support: formation-phase timing without the solve (the

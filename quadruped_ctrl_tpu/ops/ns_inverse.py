@@ -294,6 +294,79 @@ def ns_inverse_pallas_scaled(ks, a0: float = 1e-5, n_scaled: int = 9,
 
 
 # ---------------------------------------------------------------------------
+# Guard-free warm NS refinement.
+#
+# The polish's Woodbury path (solver/admm.py) builds an APPROXIMATE inverse
+# M of each round's updated KKT system from the stored round-0 inverse plus
+# a rank-r active-set correction. M is algebraically exact but f32
+# cancellation at the polish conditioning (~1e5) leaves it ~1e-2 relative —
+# too coarse to solve with, but a superb NS starting point: each iteration
+# squares the residual, so quad+hi reaches the cold schedule's floor in 2
+# iterations instead of 12. No per-system guard (the correction always
+# accounts for the active-set change), so none of the both-branches Mosaic
+# tax that sank ns_inverse_pallas_warm.
+
+
+def _kernel_refine(n_quad: int, n_hi: int, gil: int, k_ref, init_ref,
+                   out_ref):
+    """Interleaved warm NS: `gil` systems' independent MXU ops in flight per
+    step (see _kernel_scaled_il)."""
+    eye = jnp.eye(k_ref.shape[-1], dtype=jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    kw = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32)
+    for base in range(0, G, gil):
+        gs = range(base, base + gil)
+        ks = [k_ref[g] for g in gs]
+        khl = [_split(k) for k in ks]
+        xs = [init_ref[g] for g in gs]
+        for _ in range(n_quad):                # quadratic, bf16x3
+            kxs = [_mm3(khl[i][0], khl[i][1], xs[i]) for i in range(gil)]
+            xhl = [_split(x) for x in xs]
+            xs = [
+                _mm3(xhl[i][0], xhl[i][1], 2.0 * eye - kxs[i])
+                for i in range(gil)
+            ]
+        for _ in range(n_hi):                  # quadratic, HIGHEST tail
+            kxs = [jax.lax.dot_general(ks[i], xs[i], dn, **kw)
+                   for i in range(gil)]
+            xs = [
+                jax.lax.dot_general(xs[i], 2.0 * eye - kxs[i], dn, **kw)
+                for i in range(gil)
+            ]
+        for i, g in enumerate(gs):
+            out_ref[g] = xs[i]
+
+
+def ns_inverse_pallas_refine(ks, init, n_quad: int = 1, n_hi: int = 1,
+                             interpret: bool = False):
+    """Warm NS refinement: ks, init (B, n_pad, n_pad), B a multiple of G,
+    init in the SAME Jacobi scaling as ks with residual ||I - ks init||
+    comfortably < 1 (the caller's Woodbury correction guarantees this up to
+    its f32 floor). Returns the refined inverse."""
+    b, npad = ks.shape[0], ks.shape[-1]
+    assert b % G == 0
+    gil = G if npad <= 128 else 2
+    return pl.pallas_call(
+        functools.partial(_kernel_refine, n_quad, n_hi, gil),
+        grid=(b // G,),
+        in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (n_quad + n_hi) * 2 * npad**3,
+            bytes_accessed=3 * b * npad * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ks, init)
+
+
+# ---------------------------------------------------------------------------
 # Warm-started NS with an in-kernel divergence guard.
 #
 # STATUS: correct but NOT on any production path. Measured on v5e at

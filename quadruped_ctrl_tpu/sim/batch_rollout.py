@@ -29,16 +29,6 @@ from quadruped_ctrl_tpu.sim.terrain import Terrain
 WARMUP_TICKS = 10
 
 
-def _one_tick(cfg, state, sim, cmd, terrain, with_mpc: bool, mpc_iterations):
-    sensors = engine.sensors_from_sim(cfg, sim)
-    state, ctx = ctrl.control_tick(cfg, state, sensors, cmd)
-    if with_mpc:
-        state = ctrl.mpc_update(cfg, state, ctx, iterations=mpc_iterations)
-    state, out = ctrl.leg_commands(cfg, state, ctx)
-    sim = engine.sim_step(cfg, sim, out, terrain)
-    return state, sim, out
-
-
 def _mpc_tick_batched(cfg, states, sims, cmds, terrains, h_sol,
                       mpc_iterations, max_stance=None):
     """The every-13th tick with the MPC solve batch-explicit: control_tick
@@ -50,9 +40,7 @@ def _mpc_tick_batched(cfg, states, sims, cmds, terrains, h_sol,
     — see gait.max_simultaneous_stance) the solves additionally run
     stance-compressed + pair-packed, the bench pipeline's exact shape."""
     sensors = jax.vmap(lambda s: engine.sensors_from_sim(cfg, s))(sims)
-    states, ctx = jax.vmap(
-        lambda st, sn, c: ctrl.control_tick(cfg, st, sn, c)
-    )(states, sensors, cmds)
+    states, ctx = ctrl.control_tick_batched(cfg, states, sensors, cmds)
     # closed-loop solves are temporally warm-started (controller state
     # carries the previous tick's shifted iterate), so the reduced
     # warm_iterations budget applies unless the caller overrides
@@ -120,12 +108,15 @@ def batch_rollout(
 
     def plain_tick(carry, _):
         states, sims = carry
-
-        def one(state, sim, cmd, terr):
-            s, m, _ = _one_tick(cfg, state, sim, cmd, terr, False, mpc_iterations)
-            return s, m
-
-        states, sims = jax.vmap(one)(states, sims, commands, terrains)
+        sensors = jax.vmap(lambda s: engine.sensors_from_sim(cfg, s))(sims)
+        states, ctx = ctrl.control_tick_batched(cfg, states, sensors,
+                                                commands)
+        states, outs = jax.vmap(
+            lambda st, c: ctrl.leg_commands(cfg, st, c)
+        )(states, ctx)
+        sims = jax.vmap(
+            lambda sm, o, t: engine.sim_step(cfg, sm, o, t)
+        )(sims, outs, terrains)
         return (states, sims), None
 
     if not cont:

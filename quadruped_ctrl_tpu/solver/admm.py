@@ -432,7 +432,43 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool, schedule=None,
 
     solve.inv_padded = inv_padded     # (B,128,128) Jacobi-scaled, or None
     solve.scale = d                   # (B,n)
+    solve.inv = inv                   # (B,n,n) Jacobi-scaled inverse
+    solve.ks = ks                     # (B,n,n) Jacobi-scaled K
     return solve
+
+
+def _gj_inverse(c, pivot: bool = True):
+    """Batched (B,r,r) general-matrix inverse via Gauss-Jordan: r
+    fully-batched elimination steps over the (B,r,2r) augmented system. Used
+    for the small Woodbury capacitance matrices, where XLA's batched LU
+    would lower to serial scalar loops on TPU; every step here is a batched
+    rank-1 update on the VPU.
+
+    With `pivot`, partial pivoting runs as a select + one-hot reduce (NOT
+    take_along_axis — a generic TPU gather costs more than the whole
+    elimination). The Woodbury caller orders constraint ADDITIONS (+1
+    capacitance diagonal, diagonally dominant-ish) ahead of removals and
+    passes pivot=False — halving the per-step op count; its downstream
+    solves carry refinement against the true K, and the polish best-iterate
+    selection guards any residual misstep."""
+    b, r = c.shape[0], c.shape[-1]
+    eye = jnp.eye(r, dtype=c.dtype)
+    aug = jnp.concatenate([c, jnp.broadcast_to(eye, c.shape)], axis=-1)
+    rows = jnp.arange(r)
+    for k in range(r):
+        if pivot:
+            col = jnp.where(rows[None, :] >= k, jnp.abs(aug[:, :, k]), -1.0)
+            p = jnp.argmax(col, axis=1)                          # (B,)
+            is_p = rows[None, :] == p[:, None]                   # (B,r)
+            rowp = jnp.einsum('br,brc->bc', is_p.astype(c.dtype), aug)
+            rowk = aug[:, k, :]
+            aug = jnp.where(is_p[:, :, None], rowk[:, None, :], aug)
+            aug = aug.at[:, k, :].set(rowp)
+        pivrow = aug[:, k, :] / aug[:, k, k][:, None]
+        fac = aug[:, :, k]
+        aug = aug - fac[:, :, None] * pivrow[:, None, :]
+        aug = aug.at[:, k, :].set(pivrow)
+    return aug[:, :, r:]
 
 
 def _pyramid_dense(mu: float, h: int, nf: int):
@@ -795,19 +831,19 @@ def admm_mpc_batched(
         per_row = jnp.maximum(l - av, jnp.where(finite_u, av - u, -1.0))
         return jnp.max(per_scn(per_row), axis=-1)             # (B*pack,)
 
-    def one_round(best_x, best_v, lo, hi, y_al, prev_inv=None,
-                  prev_scale=None):
+    def rhs_parts(lo, hi, y_al):
         act = lo | hi
         bound = jnp.where(lo, l, jnp.where(hi & finite_u, u, 0.0))
         w = jnp.where(act, w_act, 0.0)
-        # every round factorizes cold. (A warm-seeded NS kernel with an
-        # in-kernel guard was built and measured — ops/ns_inverse.py:
-        # ns_inverse_pallas_warm — but Mosaic executes BOTH sides of a
-        # per-system conditional (lax.cond and pl.when alike), so the warm
-        # round costs MORE than a cold one: 14.2 ms vs 12.9 at B=2048.)
-        solve = build_solver(w, prev_inv=prev_inv, prev_scale=prev_scale)
         y_act = jnp.where(act, y_al, 0.0)
-        x_p = solve(-grad_n + apply_at(w * bound - y_act))
+        return w, bound, y_act
+
+    def apply_round(solve_fn, w, bound, y_act, best_x, best_v, lo, hi):
+        """One polish solve at the CURRENT working set, plus the refinement
+        proposal (drop wrong-sign multipliers, add violated rows). A
+        non-finite scenario keeps its incoming working set and duals, so one
+        bad solve cannot poison subsequent rounds' proposals."""
+        x_p = solve_fn(-grad_n + apply_at(w * bound - y_act))
         ax = apply_a(x_p)
         y_new = y_act + w * (ax - bound)
         finite_p = jnp.all(
@@ -819,20 +855,158 @@ def admm_mpc_batched(
             take, per_scn(x_p), best_x.reshape(bsz * pack, nsc)
         ).reshape(bsz, n)
         best_v = jnp.minimum(v_p, best_v)
-        lo = (lo & (y_new <= 1e-9)) | (ax < l - 1e-6)
-        hi = (hi & (y_new >= -1e-9)) | (finite_u & (ax > u + 1e-6))
-        y_al = jnp.where(lo | hi, y_new, 0.0)
-        return best_x, best_v, lo, hi, y_al
+        lo_d = (lo & (y_new <= 1e-9)) | (ax < l - 1e-6)
+        hi_d = (hi & (y_new >= -1e-9)) | (finite_u & (ax > u + 1e-6))
+        fin_rows = scn_fac_rows(
+            finite_p.astype(dtype), m_full // pack) > 0.5
+        lo_d = jnp.where(fin_rows, lo_d, lo)
+        hi_d = jnp.where(fin_rows, hi_d, hi)
+        y_al = jnp.where(
+            fin_rows, jnp.where(lo_d | hi_d, y_new, 0.0), y_act)
+        return best_x, best_v, lo_d, hi_d, y_al
 
     if polish_rounds > 0:
+        # round 0: ONE cold full-polish-grade factorization at the
+        # ADMM-identified active set, duals seeded from the ADMM iterate
         y_seed = jnp.where(lo_act | hi_act, y, 0.0)
-        carry = one_round(x, jnp.maximum(viol(x), 0.0), lo_act, hi_act, y_seed)
+        w0p, bound0, y_act0 = rhs_parts(lo_act, hi_act, y_seed)
+        solve_p0 = build_solver(w0p)
+        carry = apply_round(solve_p0, w0p, bound0, y_act0,
+                            x, jnp.maximum(viol(x), 0.0), lo_act, hi_act)
 
-        def round_body(carry, _):
-            return one_round(*carry), None
+        if polish_rounds > 1 and cfg.polish_woodbury:
+            # STATUS: OFF by default (config.polish_woodbury) — measured
+            # numerically unsound in f32; see the config note for the full
+            # negative result. Kept as the incremental-factorization
+            # candidate for extended-precision hardware. Per round:
+            # (1) the working-set update is CLAMPED to at most `rank`
+            #     constraint ADDITIONS (removals defer: downdating a
+            #     dominant +w_act penalty row amplifies the stored
+            #     inverse's f32 error by ~w_act — measured warm-NS residual
+            #     ~300 vs ~0.2 for additions); overflow flips wait for
+            #     later rounds, guarded by the best-iterate selection;
+            # (2) a rank-r Woodbury correction of the PREVIOUS round's
+            #     refined inverse gives an approximate inverse M in O(r n^2)
+            #     work — algebraically exact (verified in f64) but f32
+            #     cancellation-limited;
+            # (3) M warm-starts a ns_wb_quad+ns_wb_hi Newton-Schulz
+            #     refactorization (each iteration squares the residual) —
+            #     2 iterations instead of the 12-iteration cold schedule,
+            #     with no divergence guard, so none of the both-branches
+            #     Mosaic tax that sank the guarded warm kernel.
+            rank = min(cfg.polish_woodbury_rank * pack, 5 * h * nf)
+            sqrt_w = jnp.sqrt(jnp.asarray(w_act, dtype))
+            a_dense = jnp.asarray(_pyramid_dense(cfg_mpc.mu, h, nf), dtype)
 
-        carry, _ = lax.scan(round_body, carry, None,
-                            length=max(polish_rounds - 1, 0))
+            def wb_round(carry, _):
+                (best_x, best_v, lo_d, hi_d, y_al,
+                 lo_p, hi_p, inv_p, ks_p, dd_p) = carry
+                # ---- clamp the proposed update to `rank` weight flips
+                # (lo<->hi swaps keep w and need no factorization update)
+                act_d = lo_d | hi_d
+                act_p = lo_p | hi_p
+                flip_w = act_d != act_p
+                # apply only ADDITIONS through the factorization update:
+                # adding +w_act rows is numerically benign (measured warm-NS
+                # residual ~0.2), while REMOVING a dominant penalty row
+                # amplifies the stored inverse's f32 error by ~w_act
+                # (measured residual ~300 — divergent), so removals are
+                # deferred: the row keeps its penalty at the PREVIOUS bound
+                # and the best-iterate selection guards the difference.
+                add_w = act_d & ~act_p
+                _, idx = lax.top_k(add_w.astype(dtype), rank)
+                # row selection as one-hot contractions (generic TPU
+                # gathers are ~25x slower — formation.py's stance lesson)
+                onehot = jax.nn.one_hot(idx, flip_w.shape[-1], dtype=dtype)
+                msel = jnp.einsum('brm,bm->br', onehot,
+                                  add_w.astype(dtype))        # (B,rank)
+                applied = jnp.einsum('brm,br->bm', onehot, msel) > 0.5
+                keep = flip_w & ~applied
+                lo_n = jnp.where(keep, lo_p, lo_d)
+                hi_n = jnp.where(keep, hi_p, hi_d)
+                act_n = lo_n | hi_n
+                # ---- rank-limited Woodbury vs the previous inverse
+                actn_sel = jnp.einsum('brm,bm->br', onehot,
+                                      act_n.astype(dtype))
+                s_sel = jnp.where(actn_sel > 0.5, 1.0, -1.0).astype(dtype)
+                a_sel = jnp.einsum('brm,mn->brn', onehot, a_dense,
+                                   precision=_HI)
+                u_rows = (sqrt_w * msel)[:, :, None] * a_sel \
+                    * dd_p[:, None, :]            # (B,rank,n), prev scaling
+                v_rows = jnp.einsum('brn,bnm->brm', u_rows, inv_p,
+                                    precision=_HI)
+                gmat = jnp.einsum('brm,bsm->brs', v_rows, u_rows,
+                                  precision=_HI)
+                cs = gmat + s_sel[:, :, None] * jnp.eye(rank, dtype=dtype)
+                cinv = _gj_inverse(cs)
+                cv_rows = jnp.einsum('brs,bsn->brn', cinv, v_rows,
+                                     precision=_HI)
+                m_wb = inv_p - jnp.einsum('brn,brm->bnm', v_rows, cv_rows,
+                                          precision=_HI)
+                sus = u_rows * s_sel[:, :, None]
+                ks1 = ks_p + jnp.einsum('brn,brm->bnm', sus, u_rows,
+                                        precision=_HI)
+                # re-equilibrate by the new Jacobi scale (the update moves
+                # changed-row diagonals far from the previous unit diagonal)
+                d1 = lax.rsqrt(jnp.maximum(
+                    jnp.diagonal(ks1, axis1=-2, axis2=-1), 1e-30))
+                ks1s = ks1 * d1[:, :, None] * d1[:, None, :]
+                init = m_wb / (d1[:, :, None] * d1[:, None, :])
+                if use_pallas:
+                    from quadruped_ctrl_tpu.ops import ns_inverse as NI
+
+                    npad = NI.pad_sizes(n)
+                    ksp = NI.pad_to(ks1s, n, npad)
+                    ip = NI.pad_to(init, n, npad)
+                    pad_b = (-bsz) % NI.G
+                    if pad_b:
+                        ident = jnp.broadcast_to(
+                            jnp.eye(npad, dtype=jnp.float32),
+                            (pad_b, npad, npad))
+                        ksp = jnp.concatenate([ksp, ident], axis=0)
+                        ip = jnp.concatenate([ip, ident], axis=0)
+                    inv1 = NI.ns_inverse_pallas_refine(
+                        ksp, ip, cfg.ns_wb_quad, cfg.ns_wb_hi
+                    )[:bsz, :n, :n]
+                else:
+                    eye_n = jnp.eye(n, dtype=dtype)
+                    x_ = init
+                    for _ in range(cfg.ns_wb_quad + cfg.ns_wb_hi):
+                        kx = jnp.einsum('bij,bjk->bik', ks1s, x_,
+                                        precision=_HI)
+                        x_ = jnp.einsum('bij,bjk->bik', x_,
+                                        2.0 * eye_n - kx, precision=_HI)
+                    inv1 = x_
+                dd_n = dd_p * d1
+
+                def wsolve(b_vec, refine: int = 2):
+                    bs = dd_n * b_vec
+                    x_s = jnp.einsum('bnm,bm->bn', inv1, bs, precision=_HI)
+                    for _ in range(refine):
+                        r = bs - jnp.einsum('bnm,bm->bn', ks1s, x_s,
+                                            precision=_HI)
+                        x_s = x_s + jnp.einsum('bnm,bm->bn', inv1, r,
+                                               precision=_HI)
+                    return dd_n * x_s
+
+                w_n, bound_n, y_act_n = rhs_parts(lo_n, hi_n, y_al)
+                out = apply_round(wsolve, w_n, bound_n, y_act_n,
+                                  best_x, best_v, lo_n, hi_n)
+                return out + (lo_n, hi_n, inv1, ks1s, dd_n), None
+
+            carry0 = carry + (lo_act, hi_act, solve_p0.inv, solve_p0.ks,
+                              solve_p0.scale)
+            carry, _ = lax.scan(wb_round, carry0, None,
+                                length=polish_rounds - 1)
+        else:
+            def round_body(carry, _):
+                best_x, best_v, lo, hi, y_al = carry
+                w, bound, y_act = rhs_parts(lo, hi, y_al)
+                return apply_round(build_solver(w), w, bound, y_act,
+                                   best_x, best_v, lo, hi), None
+
+            carry, _ = lax.scan(round_body, carry, None,
+                                length=max(polish_rounds - 1, 0))
         x = carry[0]
     if return_warm:
         return x * f_scale, warm_out

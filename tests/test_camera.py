@@ -10,9 +10,10 @@ def test_depth_render_flat_ground():
     terrain = Terrain.plane()
     p = jnp.array([0.0, 0.0, 0.3], jnp.float32)
     quat = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
-    depth, dirs, eye = jax.jit(
+    depth, dirs, eye, is_robot = jax.jit(
         lambda: camera.render_depth(terrain, p, quat)
     )()
+    assert not np.asarray(is_robot).any()   # no robot geometry passed
     depth = np.asarray(depth)
     assert depth.shape == (camera.HEIGHT, camera.WIDTH)
     # looking 30 deg below the horizon from 0.3 m: depth ~ 0.3/0.5 = 0.6
@@ -71,3 +72,44 @@ def test_render_rgb_and_mono8():
     # jit-compatible
     jimg = jax.jit(lambda t, p, q: cam.render_image(t, p, q))(t, p, q)
     np.testing.assert_array_equal(np.asarray(jimg), img)
+
+
+def test_robot_self_occlusion():
+    """The camera sees the robot's own body/legs, as PyBullet's world render
+    does (reference walking_simulation.py:287-299): at a pose with the legs
+    reaching forward below the head, robot-occluded pixels appear in-frame,
+    nearer than the terrain they mask, and enter the point cloud."""
+    from quadruped_ctrl_tpu.config import default_config
+
+    cfg = default_config()
+    terrain = Terrain.plane()
+    p = jnp.array([0.0, 0.0, 0.3], jnp.float32)
+    quat = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    # front legs stretched far forward: feet land in the down-forward frustum
+    q = jnp.array(
+        [[0.0, 1.2, -0.4], [0.0, 1.2, -0.4],
+         [0.0, -0.8, 1.6], [0.0, -0.8, 1.6]], jnp.float32
+    )
+    robot = (cfg.robot, q)
+    depth_r, _, eye, is_robot = jax.jit(
+        lambda: camera.render_depth(terrain, p, quat, robot=robot)
+    )()
+    depth_t, _, _, _ = jax.jit(
+        lambda: camera.render_depth(terrain, p, quat)
+    )()
+    is_robot = np.asarray(is_robot)
+    assert is_robot.sum() > 5                    # legs are in-frame
+    # robot pixels are strictly nearer than the terrain behind them
+    dr, dt = np.asarray(depth_r), np.asarray(depth_t)
+    assert (dr[is_robot] <= dt[is_robot] + 1e-6).all()
+    assert dr[is_robot].mean() < dt[is_robot].mean() - 0.05
+    # self-points enter the published point cloud above the ground plane
+    pts, valid = jax.jit(
+        lambda: camera.point_cloud(terrain, p, quat, robot=robot)
+    )()
+    pts = np.asarray(pts)[np.asarray(valid)]
+    assert (pts[:, 2] > 0.05).sum() > 5
+    # and the RGB render shades those pixels as the (gray) robot, not ground
+    rgb = np.asarray(camera.render_rgb(terrain, p, quat, robot=robot))
+    rpix = rgb[is_robot].astype(int)
+    assert (rpix[:, 2] >= rpix[:, 0]).mean() > 0.9   # gray-blue, not earth

@@ -188,3 +188,70 @@ def test_qp_cost_nil_matches_qp_cost():
         np.testing.assert_allclose(
             np.asarray(gc_new), np.asarray(gc_old), atol=1e-5
         )
+
+
+def test_batched_formation_matches_per_scenario():
+    """The batch-explicit fast path (closed-form sparse dynamics, sortless
+    stance selectors, sqrt-S-folded cost) is numerically the vmapped
+    per-scenario path."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    B, h = 12, 10
+    r_feet = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 4, 3)), jnp.float32)
+    yaw = jnp.asarray(rng.uniform(-1.5, 1.5, (B,)), jnp.float32)
+    x_drag = jnp.asarray(rng.uniform(0.0, 3.0, (B,)), jnp.float32)
+    dt = 0.026
+
+    def old_dyn(rf, yw, xd):
+        a_ct, b_ct = formation.srb_ct_dynamics(CFG, rf, yw, xd)
+        return formation.discretize(a_ct, b_ct, dt)
+
+    adt_o, bdt_o = jax.vmap(old_dyn)(r_feet, yaw, x_drag)
+    adt_n, bdt_n = formation.srb_discrete(CFG, r_feet, yaw, x_drag, dt)
+    np.testing.assert_allclose(np.asarray(adt_n), np.asarray(adt_o),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bdt_n), np.asarray(bdt_o),
+                               atol=1e-6)
+    # unbatched call works too (the single-robot controller path)
+    adt_1, bdt_1 = formation.srb_discrete(
+        CFG, r_feet[0], yaw[0], x_drag[0], dt)
+    np.testing.assert_allclose(np.asarray(adt_1), np.asarray(adt_n[0]),
+                               atol=0.0)
+
+    tbl = (rng.uniform(size=(B, h, 4)) > 0.45).astype(np.float32)
+    tbl[:, :, 0] = 1.0
+    tbl[:3] = 1.0                               # some all-stance scenarios
+    tbl = jnp.asarray(tbl)
+    fi_o, gr_o = jax.vmap(lambda t: formation.compress_stance(t, 2))(tbl)
+    fi_n, gr_n, sel = formation.stance_selectors(tbl, 2)
+    np.testing.assert_array_equal(np.asarray(fi_n), np.asarray(fi_o))
+    np.testing.assert_array_equal(np.asarray(gr_n), np.asarray(gr_o))
+
+    x0 = jnp.asarray(rng.standard_normal((B, 13)), jnp.float32)
+    x_d = jnp.asarray(rng.standard_normal((B, h, 13)) * 0.3, jnp.float32)
+    mask = jnp.ones((B, h), jnp.float32).at[4, 7:].set(0.0)
+    h_o, g_o = jax.vmap(
+        lambda a, b, x, t, s, fi: formation.qp_cost_compressed_nil(
+            CFG, a, b, x, t, s, fi)
+    )(adt_n, bdt_n, x0, x_d, mask, fi_n)
+    h_n, g_n = formation.qp_cost_compressed_nil_sel(
+        CFG, adt_n, bdt_n, x0, x_d, mask, sel)
+    scale = float(jnp.max(jnp.abs(h_o)))
+    np.testing.assert_allclose(np.asarray(h_n), np.asarray(h_o),
+                               atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(g_n), np.asarray(g_o),
+                               atol=2e-5 * max(float(jnp.max(jnp.abs(g_o))), 1.0))
+
+    # identity selection IS the uncompressed 12h-variable cost
+    sel4 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32)[None, None],
+                            (B, h, 4, 4))
+    h_u, g_u = jax.vmap(
+        lambda a, b, x, t, s: formation.qp_cost_nil(CFG, a, b, x, t, s)
+    )(adt_n, bdt_n, x0, x_d, mask)
+    h_i, g_i = formation.qp_cost_compressed_nil_sel(
+        CFG, adt_n, bdt_n, x0, x_d, mask, sel4)
+    np.testing.assert_allclose(np.asarray(h_i), np.asarray(h_u),
+                               atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(g_i), np.asarray(g_u),
+                               atol=2e-5 * max(float(jnp.max(jnp.abs(g_u))), 1.0))
