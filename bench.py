@@ -206,6 +206,11 @@ def main():
                 "h16_midband_solves_per_s": round(b16 / t16m, 1),
                 "h16_midband_unit": "solves/s (h=16 aio walking band, "
                                     "3-stance compressed, 144-var/256-tile)",
+                "h16_midband_note": "ms=3 compression (192->144 vars) keeps "
+                                    "the 256 NS tile (144 > 128-lane tile), "
+                                    "so the factorization work is unchanged; "
+                                    "the gain over uncompressed comes from "
+                                    "the iterate/formation phases only",
                 "phases": phases,
             }
         )

@@ -70,6 +70,28 @@ def main():
         rec.record((time.perf_counter() - t0) * 1e3)
     host = rec.summary()
 
+    # --- tunnel-RTT decomposition -------------------------------------
+    # Each measured tick is exactly TWO transport round trips (one execute
+    # dispatch + one device->host transfer for the fetch) plus device
+    # compute. A trivial one-op program measures the pure transport cost of
+    # the same two round trips, so the locally-attached projection is
+    # arithmetic: p99_local ~= p99_here - rtt_pair_p50 + eps_local, with
+    # eps_local ~0.1 ms for a PCIe-attached dispatch+fetch pair.
+    import jax.numpy as jnp
+
+    @jax.jit
+    def noop(x):
+        return x + 1.0
+
+    xs = jnp.zeros(())
+    np.asarray(noop(xs))             # compile
+    rec_rtt = LatencyRecorder()
+    for _ in range(200):
+        t0 = time.perf_counter()
+        np.asarray(noop(xs))
+        rec_rtt.record((time.perf_counter() - t0) * 1e3)
+    rtt = rec_rtt.summary()
+
     # device-side rate: ONE jitted 13-tick MPC macro-cycle (scan), queued
     # 40 deep with a single scalar fetch. Per-call dispatch through the
     # remote tunnel costs ~1 ms and dominates any per-tick measurement
@@ -77,7 +99,6 @@ def main():
     # than a full step that way); the scanned macro amortizes dispatch so
     # wall/ticks is genuine device compute.
     from jax import lax
-    import jax.numpy as jnp
 
     @jax.jit
     def macro13(state, sim):
@@ -107,9 +128,23 @@ def main():
                                "(~1 ms RTT absent on locally-attached TPUs)",
         "device_per_tick_ms": round(per_tick_ms, 4),
         "device_method": "13-tick scanned MPC macro-cycle x40, single fetch",
+        "dispatches_per_tick": 2,
+        "dispatch_note": "one execute RPC + one device->host fetch RPC",
+        "tunnel_rtt_pair_p50_ms": round(rtt["p50_ms"], 3),
+        "tunnel_rtt_pair_p99_ms": round(rtt["p99_ms"], 3),
+        "host_p99_decomposition_ms": {
+            "transport_2rpc_p50": round(rtt["p50_ms"], 3),
+            "device_and_jitter": round(host["p99_ms"] - rtt["p50_ms"], 3),
+        },
+        "projected_local_p99_ms": round(
+            max(host["p99_ms"] - rtt["p50_ms"], 0.0) + 0.1, 3),
+        "projected_local_note": "p99 - tunnel transport pair + ~0.1 ms "
+                                "PCIe dispatch/fetch pair",
         "tick_budget_ms": 2.0,
         "mpc_budget_ms": 26.0,
         "device_within_budget": bool(per_tick_ms < 2.0),
+        "projected_local_within_mpc_budget": bool(
+            max(host["p99_ms"] - rtt["p50_ms"], 0.0) + 0.1 < 26.0),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }

@@ -194,8 +194,11 @@ def cmd_sweep(args):
                 fingerprint=fingerprint,
             )
     if recs is not None:
-        p_final = np.asarray(recs["p"])[-1]
-        safety = np.asarray(recs["safety"])[-1]
+        # device-slice BEFORE the host fetch: np.asarray(recs["p"])[-1]
+        # would pull the whole (macros, batch, 3) record tensor through the
+        # transport (tens of MB over the tunnel) to use one row
+        p_final = np.asarray(recs["p"][-1])
+        safety = np.asarray(recs["safety"][-1])
     else:  # resumed at done == macros: read the checkpointed final state
         p_final = np.asarray(sims.p)
         safety = np.asarray(states.core.safety_ok)

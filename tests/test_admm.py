@@ -229,3 +229,27 @@ def test_hard_battery_cone_pushes(gait_kind):
             ax = fmat @ x
             assert max(0.0, (ax - u).max(), (l - ax).max()) < 0.1, (seed, push)
             np.testing.assert_allclose(x, x_true, atol=2.0)
+
+
+def test_polish_woodbury_path_runs_and_is_guarded():
+    """The Woodbury+warm-NS polish variant (config.polish_woodbury, OFF by
+    default — see the negative-result note there) must still compile, stay
+    finite, and track the cold-round path on typical scenarios; where its
+    f32 limitation bites, the best-iterate guard must cap the damage (the
+    result can degrade toward round-0 quality but never diverge)."""
+    import dataclasses
+    import jax
+    from quadruped_ctrl_tpu.config import default_config
+    from quadruped_ctrl_tpu.mpc import pipeline
+
+    cfg = default_config()
+    wb = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, polish_woodbury=True))
+    inputs = pipeline.random_inputs(jax.random.PRNGKey(2), 8, 10)
+    f_cold = np.asarray(pipeline.solve_packed_batch(cfg, inputs))
+    f_wb = np.asarray(pipeline.solve_packed_batch(wb, inputs))
+    assert np.isfinite(f_wb).all()
+    per_scn = np.abs(f_wb - f_cold).reshape(8, -1).max(axis=1)
+    # typical scenarios match closely; the guarded worst case stays bounded
+    assert np.median(per_scn) < 1.0, per_scn
+    assert per_scn.max() < 40.0, per_scn

@@ -292,3 +292,115 @@ def test_torque_trace_parity_walking_rough(reference_trace_walking_rough):
     assert r_walk < 0.45, f"walk-phase torque rel RMS {r_walk:.3f}"
     assert med < 0.6, f"median per-tick torque deviation {med:.3f} N*m"
     assert spike_frac < 0.07, f"{spike_frac:.1%} of ticks deviate >2 N*m"
+
+
+def _run_reference_trace_profile(terrain, profile, n: int):
+    """Like _run_reference_trace, but driven by a command PROFILE
+    [(t_start, mode, gait, vx), ...] — the mode-1 (aio) lane, where the
+    controller rebands gait shape and horizon from the filtered speed
+    (ConvexMPCLocomotion.cpp:173-236). Also records our controller's
+    sticky solved horizon (loco.mpc_h) per tick so the test can assert the
+    bands actually crossed."""
+    cfg = FrameworkConfig()
+    model = MiniCheetahModel()
+
+    sens_fn = jax.jit(lambda s: art.sensors_from_articulated(cfg, s))
+    step_fn = jax.jit(lambda st, sens, cmd: ctrl.controller_step(cfg, st, sens, cmd))
+    plant_fn = jax.jit(lambda s, tau: art.articulated_step(cfg, model, s, tau, terrain))
+    pre_fn = jax.jit(lambda st, sens: ctrl.pre_work(cfg, st, sens))
+
+    sim = art.articulated_init(cfg, model, terrain)
+    state = ctrl.init_state(cfg)
+    rc = ref_bridge.ReferenceController(freq=cfg.sim.freq)
+    s0 = sens_fn(sim)
+    imu0, leg0 = ref_bridge.sensors_to_arrays(jax.tree.map(np.asarray, s0))
+    for _ in range(10):
+        rc.pre_work(imu0, leg0)
+        state = pre_fn(state, s0)
+
+    cmd = None
+    tau_ref = np.zeros((n, 12))
+    tau_ours = np.zeros((n, 12))
+    ps = np.zeros((n, 3))
+    rpys = np.zeros((n, 3))
+    mpc_hs = np.zeros(n, np.int32)
+    rpy_fn = jax.jit(rot.quat_to_rpy)
+    for t in range(n):
+        for (t0, mode, gait, vx) in profile:
+            if t == t0:
+                rc.set_robot_mode(mode)
+                rc.set_gait_type(gait)
+                rc.set_robot_vel([vx, 0.0, 0.0])
+                cmd = Command.create(vx, 0.0, 0.0, gait_type=gait,
+                                     robot_mode=mode)
+        sens = sens_fn(sim)
+        imu, leg = ref_bridge.sensors_to_arrays(jax.tree.map(np.asarray, sens))
+        tau_ref[t] = rc.torques(imu, leg)
+        state, out = step_fn(state, sens, cmd)
+        tau_ours[t] = np.asarray(out.tau).ravel()
+        ps[t] = np.asarray(sim.p)
+        rpys[t] = np.asarray(rpy_fn(sim.quat))
+        mpc_hs[t] = int(state.core.locomotion.mpc_h)
+        sim = plant_fn(sim, jnp.asarray(tau_ref[t], jnp.float32))
+
+    return dict(tau_ref=tau_ref, tau_ours=tau_ours, ps=ps, rpys=rpys,
+                mpc_hs=mpc_hs, n=n)
+
+
+MODE1_SEGMENTS = [(0, 1, 9, 0.0), (260, 1, 9, 0.3), (520, 1, 9, 0.9),
+                  (780, 1, 9, 1.6)]
+
+
+@pytest.fixture(scope="module")
+def reference_trace_mode1(ref_lib):
+    """Third trace-parity lane (VERDICT r3 next #5): mode 1 (aio) with a
+    velocity profile crossing the 0.2/0.4 and 1.4 m/s reshaping thresholds —
+    the phase-lagged boundary checks, band reshaping, and sticky-horizon
+    semantics (controller._select_gait) against the reference's own mode-1
+    behavior."""
+    return _run_reference_trace_profile(Terrain.plane(), MODE1_SEGMENTS,
+                                        n=1040)
+
+
+def test_reference_mode1_stabilizes_our_plant(reference_trace_mode1):
+    tr = reference_trace_mode1
+    ps, rpys = tr["ps"], tr["rpys"]
+    settle = 100
+    assert ps[settle:, 2].min() > 0.20, "body height collapsed"
+    assert ps[settle:, 2].max() < 0.36, "body height blew up"
+    assert np.abs(rpys[settle:, :2]).max() < 0.30, "roll/pitch diverged"
+    assert ps[-1, 0] > 0.5, "no forward progress across the speed profile"
+
+
+def test_mode1_bands_crossed(reference_trace_mode1):
+    """Our aio re-derivation must actually traverse the reshaping bands:
+    sticky horizon 16 (walking/morph band), 14 (mid trot), 10 (fast
+    reshaped trot)."""
+    hs = set(reference_trace_mode1["mpc_hs"].tolist())
+    assert 16 in hs, f"walking-band horizon never engaged: {sorted(hs)}"
+    assert 14 in hs, f"mid-trot horizon never engaged: {sorted(hs)}"
+    assert 10 in hs, f"fast-band horizon never engaged: {sorted(hs)}"
+
+
+def test_torque_trace_parity_mode1(reference_trace_mode1):
+    """Torque-shadowing parity along the mode-1 profile. Windows start 50
+    ticks after each segment's command step (the filtered-velocity band
+    crossings and gait-cycle-boundary reshapes land in between; both stacks
+    compute the same f32 filter so the reshape ticks align — that alignment
+    IS what the spike discriminator validates)."""
+    tr = reference_trace_mode1
+    d = tr["tau_ours"] - tr["tau_ref"]
+
+    def rel_rms(sl):
+        return float(np.sqrt((d[sl] ** 2).mean())
+                     / np.sqrt((tr["tau_ref"][sl] ** 2).mean()))
+
+    windows = [(50, 260), (310, 520), (570, 780), (830, 1040)]
+    for i, (a, b) in enumerate(windows):
+        r = rel_rms(slice(a, b))
+        assert r < 0.45, f"window {i} ({a}:{b}): torque rel RMS {r:.3f}"
+        tick_max = np.abs(d[a:b]).max(axis=1)
+        med = float(np.median(tick_max))
+        spike = float((tick_max > 2.0).mean())
+        assert med < 0.6, f"window {i}: median deviation {med:.3f} N*m"
+        assert spike < 0.08, f"window {i}: {spike:.1%} ticks deviate >2 N*m"

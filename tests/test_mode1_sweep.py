@@ -54,3 +54,53 @@ def test_mode1_sweep_crosses_reshaping_threshold():
     assert p[-1, 0, 2] > 0.12 and p[-1, 1, 2] > 0.12
     # every lane made forward progress while in the adaptive trot
     assert (p[-1, :, 0] > 0.05).all()
+
+
+def test_mode1_walking_band_compressed_ms3():
+    """The aio walking/morph band (0.2 < v <= 0.4,
+    ConvexMPCLocomotion.cpp:174-233) is a 3-STANCE h=16 gait, so its
+    closed-loop solves run stance-compressed at max_stance=3 (144-var
+    systems — the bench's h16 mid-band lane) through the same packed path.
+    The compression is enabled only after the stand->band transition
+    completes (the stand table is 4-stance, where ms=3 would drop a stance
+    foot)."""
+    batch = 4
+    key = jax.random.PRNGKey(12)
+    terr = br.batch_terrains(batch, key, kinds=("plane",))
+    states, sims = br.batch_init(CFG, terr, batch)
+
+    stand = Command(
+        vel=jnp.zeros((batch, 3), jnp.float32),
+        gait_type=jnp.full((batch,), 9, jnp.int32),
+        robot_mode=jnp.ones((batch,), jnp.int32),
+    )
+    states, sims, _ = br.batch_rollout(CFG, states, sims, stand, terr, 16,
+                                       h_sol=16)
+
+    vx = jnp.asarray([0.25, 0.3, 0.35, 0.4], jnp.float32)
+    cmds = Command(
+        vel=jnp.stack([vx, jnp.zeros(batch), jnp.zeros(batch)], axis=1),
+        gait_type=jnp.full((batch,), 9, jnp.int32),
+        robot_mode=jnp.ones((batch,), jnp.int32),
+    )
+    # transition into the band at full solves, then the ms=3 compressed lane
+    states, sims, _ = br.batch_rollout(
+        CFG, states, sims, cmds, terr, 8, h_sol=16, cont=True
+    )
+    states, sims, recs = br.batch_rollout(
+        CFG, states, sims, cmds, terr, 32, h_sol=16, cont=True, max_stance=3
+    )
+    p = np.asarray(recs["p"])
+    assert np.isfinite(p).all()
+    # every lane rebanded into the h=16 walking/morph shape; the SOLVED
+    # sticky horizon reads 10 on non-boundary mode-1 ticks (every mode-1
+    # tick rewrites horizonLength to its local init 10 unless that tick is
+    # a rebanding phase boundary — controller._select_gait's reference
+    # quirk, ConvexMPCLocomotion.cpp:174-233)
+    np.testing.assert_array_equal(
+        np.asarray(states.core.locomotion.aio.h), [16, 16, 16, 16])
+    np.testing.assert_array_equal(
+        np.asarray(states.core.locomotion.mpc_h), [10, 10, 10, 10])
+    # upright and creeping forward through the compressed-band rollout
+    assert (p[-1, :, 2] > 0.12).all()
+    assert (p[-1, :, 0] > 0.03).all()
