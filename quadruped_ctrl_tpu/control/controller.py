@@ -613,8 +613,10 @@ def mpc_update_batched(cfg: FrameworkConfig, state: FullControllerState, ctx,
     sel4 = jnp.broadcast_to(
         jnp.eye(4, dtype=jnp.float32)[None, None], (bsz, h_sol, 4, 4)
     )
-    hess, grad = formation.qp_cost_compressed_nil_sel(
-        cfg.mpc, adt, bdt, x0, traj, step_mask, sel4
+    # pack=1: per-scenario (12*h_sol)-var systems; on TPU the fused Pallas
+    # formation kernel (ops/formation_pack.py), elsewhere the XLA path
+    hess, grad = formation.qp_cost_packed(
+        cfg.mpc, adt, bdt, x0, traj, step_mask, sel4, pack=1
     )
     warm = jax.vmap(lambda s: _warm_slices(s.core.locomotion, h_sol))(state)
     x, warm_out = admm.admm_mpc_batched(
@@ -657,14 +659,16 @@ def _mpc_update_batched_packed(cfg: FrameworkConfig, state, ctx, h_sol: int,
     adt, bdt = formation.srb_discrete(cfg.mpc, r_feet, yaw, x_drag,
                                       cfg.dt_mpc)
     foot_idx, gait_red, sel = formation.stance_selectors(table, ms)
-    hess, grad = formation.qp_cost_compressed_nil_sel(
-        cfg.mpc, adt, bdt, x0, traj, step_mask, sel
-    )
-    b = hess.shape[0]
+    b = r_feet.shape[0]
     if b % pack != 0:
         pack = 1        # odd batches still compress; they just don't pack
     n_c = 3 * ms * h_sol
     m_c = 5 * ms * h_sol
+    # packed block-diagonal QP cost (on TPU: the fused Pallas formation
+    # kernel, ops/formation_pack.py — no per-scenario Hessians in HBM)
+    kp, gp = formation.qp_cost_packed(
+        cfg.mpc, adt, bdt, x0, traj, step_mask, sel, pack
+    )
 
     # gather the stored full-layout warm triples through this tick's stance
     # map (swing-foot entries drop out; their forces/duals are ~0 anyway)
@@ -678,14 +682,6 @@ def _mpc_update_batched_packed(cfg: FrameworkConfig, state, ctx, h_sol: int,
         lambda s, fi: gather_warm(s.core.locomotion, fi)
     )(state, foot_idx)
 
-    # pack `pack` scenarios block-diagonally (pipeline.solve_packed_batch)
-    hp = hess.reshape(b // pack, pack, n_c, n_c)
-    kp = jnp.zeros((b // pack, pack * n_c, pack * n_c), hess.dtype)
-    for j in range(pack):
-        kp = kp.at[:, j * n_c:(j + 1) * n_c, j * n_c:(j + 1) * n_c].set(
-            hp[:, j]
-        )
-    gp = grad.reshape(b // pack, pack * n_c)
     gaitp = gait_red.reshape(b // pack, pack * h_sol, ms)
     warm_p = (wx.reshape(b // pack, pack * n_c),
               wz.reshape(b // pack, pack * m_c),

@@ -420,6 +420,91 @@ def qp_cost_compressed_nil_sel(
     return hess, grad
 
 
+def packed_qp_operands(cfg_mpc: MPCConfig, adt, bdt, x0, x_d, step_mask, sel):
+    """Per-scenario operands of the fused Pallas formation kernel
+    (ops/formation_pack.py): the sqrt(w)-scaled nilpotent B-family, the
+    stance-selection matrix (kron I3), the weighted reference residual, and
+    sqrt(step_mask). All tiny (O(B * 13*12) floats) — the expensive bq
+    expansion and Gram happen inside the kernel's VMEM."""
+    dtype = adt.dtype
+    b = x_d.shape[0]
+    h = x_d.shape[-2]
+    ms = sel.shape[-2]
+    n_c = h * ms * 3
+    eye13 = jnp.eye(13, dtype=dtype)
+    n1 = adt - eye13
+    n2 = jnp.einsum("...ij,...jk->...ik", n1, n1, precision=_HI)
+    bfam = jnp.stack(
+        [bdt,
+         jnp.einsum("...ij,...jk->...ik", n1, bdt, precision=_HI),
+         jnp.einsum("...ij,...jk->...ik", n2, bdt, precision=_HI)],
+        axis=-3,
+    )                                                         # (B,3,13,12)
+    w = jnp.concatenate(
+        [jnp.asarray(cfg_mpc.weights_arr(), dtype=dtype),
+         jnp.zeros(1, dtype=dtype)]
+    )
+    sqrt_w = jnp.sqrt(w)
+    bfam_s = bfam * sqrt_w[:, None]
+    # smat[(f,z),(c,j,z')] = sel[c,j,f] * (z==z'): (B,4,h,ms) x I3
+    sel_t = jnp.moveaxis(sel, -1, -3)                         # (B,4,h,ms)
+    eye3 = jnp.eye(3, dtype=dtype)
+    smat = (
+        sel_t[:, :, None, :, :, None] * eye3[None, :, None, None, :]
+    ).reshape(b, 12, n_c)
+    # weighted residual rows, (x,p) order
+    nx0 = jnp.einsum("...ij,...j->...i", n1, x0, precision=_HI)
+    n2x0 = jnp.einsum("...ij,...j->...i", n2, x0, precision=_HI)
+    k = jnp.arange(1, h + 1, dtype=dtype)[:, None]
+    ax0 = (x0[..., None, :] + k * nx0[..., None, :]
+           + (0.5 * k * (k - 1.0)) * n2x0[..., None, :])      # (B,h,13)
+    smask = jnp.sqrt(step_mask)
+    r = ((ax0 - x_d) * (smask[..., :, None] * sqrt_w)).reshape(b, h * 13)
+    return bfam_s, smat, r, smask
+
+
+def qp_cost_packed(
+    cfg_mpc: MPCConfig, adt, bdt, x0, x_d, step_mask, sel, pack: int,
+    use_pallas: bool | None = None, interpret: bool = False,
+):
+    """Block-diagonally PACKED QP cost: `pack` scenarios per system.
+
+    Returns (hess (B/pack, pack*n_c, pack*n_c), grad (B/pack, pack*n_c)) —
+    the layout `admm.admm_mpc_batched(..., pack=pack)` consumes. On TPU the
+    whole formation runs in the fused Pallas kernel
+    (ops/formation_pack.form_packed_pallas); elsewhere it is
+    `qp_cost_compressed_nil_sel` + block-diagonal embedding (the
+    differential-test reference)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    b = x_d.shape[0]
+    h = x_d.shape[-2]
+    ms = sel.shape[-2]
+    n_c = h * ms * 3
+    assert b % pack == 0
+    if use_pallas or interpret:
+        from quadruped_ctrl_tpu.ops import formation_pack as FP
+
+        bfam_s, smat, r, smask = packed_qp_operands(
+            cfg_mpc, adt, bdt, x0, x_d, step_mask, sel
+        )
+        return FP.form_packed_pallas(
+            bfam_s, smat, r, smask, h, ms, pack, float(cfg_mpc.alpha),
+            interpret=interpret,
+        )
+    hess, grad = qp_cost_compressed_nil_sel(
+        cfg_mpc, adt, bdt, x0, x_d, step_mask, sel
+    )
+    hp = hess.reshape(b // pack, pack, n_c, n_c)
+    kp = jnp.zeros((b // pack, pack * n_c, pack * n_c), hess.dtype)
+    for j in range(pack):
+        kp = kp.at[:, j * n_c: (j + 1) * n_c, j * n_c: (j + 1) * n_c].set(
+            hp[:, j]
+        )
+    gp = grad.reshape(b // pack, pack * n_c)
+    return kp, gp
+
+
 def compress_stance(gait_table, max_stance: int):
     """Per-step stance-foot index map for swing-variable elimination.
 

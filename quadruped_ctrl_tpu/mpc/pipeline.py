@@ -166,16 +166,7 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
         inputs.gait_table, max_stance
     )
     step_mask = jnp.ones((b, h), jnp.float32)
-    hess, grad = formation.qp_cost_compressed_nil_sel(
-        cfg.mpc, adt, bdt, x0, inputs.traj, step_mask, sel
-    )
-    n_c = hess.shape[-1]
-    if form_only:
-        # benchmark support: formation-phase timing without the solve (the
-        # returned "forces" depend on every formed quantity so nothing is
-        # elided, but no KKT factorization/iteration runs)
-        probe = (jnp.sum(hess, axis=(1, 2)) + jnp.sum(grad, axis=1)) * 1e-12
-        return jnp.broadcast_to(probe[:, None, None, None], (b, h, 4, 3))
+    n_c = 3 * max_stance * h
 
     # The fused single-kernel solver (ops/fused_admm.py) is opt-in: it is
     # differential-tested correct, but its per-system sequential iterate
@@ -188,6 +179,9 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
         # violation reductions run over the WHOLE system, so packed
         # scenarios would contaminate each other's polish choice — solve
         # each scenario in its own (padded) tile instead of packing
+        hess, grad = formation.qp_cost_compressed_nil_sel(
+            cfg.mpc, adt, bdt, x0, inputs.traj, step_mask, sel
+        )
         xp = admm.admm_mpc_fused(
             cfg.solver, cfg.mpc, hess, grad, gait_red,
             iterations=iterations, polish_rounds=polish_rounds,
@@ -197,14 +191,20 @@ def solve_packed_batch(cfg: FrameworkConfig, inputs: MPCInputs,
             x_red, foot_idx
         )
 
-    # pack `pack` scenarios block-diagonally
-    hp = hess.reshape(b // pack, pack, n_c, n_c)
-    kp = jnp.zeros((b // pack, pack * n_c, pack * n_c), hess.dtype)
-    for j in range(pack):
-        kp = kp.at[:, j * n_c : (j + 1) * n_c, j * n_c : (j + 1) * n_c].set(
-            hp[:, j]
-        )
-    gp = grad.reshape(b // pack, pack * n_c)
+    # packed block-diagonal QP cost: on TPU the fused Pallas formation
+    # kernel (ops/formation_pack.py) emits (B/pack) KKT-ready systems
+    # without materializing bq or the per-scenario Hessians in HBM
+    kp, gp = formation.qp_cost_packed(
+        cfg.mpc, adt, bdt, x0, inputs.traj, step_mask, sel, pack
+    )
+    if form_only:
+        # benchmark support: formation-phase timing without the solve (the
+        # returned "forces" depend on every formed quantity so nothing is
+        # elided, but no KKT factorization/iteration runs)
+        probe = (jnp.sum(kp, axis=(1, 2)) + jnp.sum(gp, axis=1)) * 1e-12
+        probe = jnp.broadcast_to(probe[:, None], (b // pack, pack))
+        return jnp.broadcast_to(
+            probe.reshape(b, 1, 1, 1), (b, h, 4, 3))
     gaitp = gait_red.reshape(b // pack, pack * h, max_stance)
 
     xp = admm.admm_mpc_batched(

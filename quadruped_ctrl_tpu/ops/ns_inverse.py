@@ -493,3 +493,139 @@ def make_ns_inverse(iters: int = 25):
         return inv.reshape(lead + (npad, npad)), True
 
     return f
+
+
+# ---------------------------------------------------------------------------
+# Fused K-build + scaled NS factorization.
+#
+# Profiled on v5e (dbg, B=2048/n=120): the XLA-side KKT ASSEMBLY — the
+# (B,n,n) gram-block broadcast, the hess_n add, jnp.diagonal, the Jacobi
+# prescale, and the 128-tile pad — costs ~4.0 ms, as much as the entire
+# mixed-precision NS schedule it feeds (~4.1 ms), and it runs once per
+# factorization (2 ADMM-phase + 3 polish rounds = 5 per cold solve). Here
+# the kernel receives the PADDED hess_n + sigma I once per solve plus the
+# tiny per-build gram blocks (B, 9, h*nf), and builds K, Jacobi-prescales,
+# and factorizes entirely in VMEM: per build the HBM traffic drops from
+# ~6 full (B,n,n) streams to one read of hp (+ ks/d writes when the
+# caller's solves need refinement against K).
+
+def _kernel_scaled_build_il(mus, n_quad: int, n_hi: int, gil: int,
+                            nblk: int, hp_ref, g9_ref, inv_ref, ks_ref,
+                            d_ref):
+    """Per system: K = hp + blockdiag3(gram), ks = D K D (Jacobi), then the
+    interleaved scaled NS schedule (see _kernel_scaled_il).
+
+    g9_ref[g]: (9, nblk) gram components in (z*3+z', block) order, where
+    block d covers variables 3d..3d+2 (h*nf force blocks). The expansion to
+    (n, n) uses iota masks + one (9, nblk)@(nblk, npad) matmul — no gathers.
+    """
+    npad = hp_ref.shape[-1]
+    eye = jnp.eye(npad, dtype=jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    kw = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32)
+    # iota-built masks (shared across systems)
+    rd = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
+    cd = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+    blockmask = ((rd // 3) == (cd // 3)).astype(jnp.float32)
+    zrow = [(rd % 3 == z).astype(jnp.float32) for z in range(3)]
+    zcol = [(cd % 3 == z).astype(jnp.float32) for z in range(3)]
+    # E[d, a] = (a//3 == d): expands per-block values to lanes
+    ed = jax.lax.broadcasted_iota(jnp.int32, (nblk, npad), 0)
+    ea = jax.lax.broadcasted_iota(jnp.int32, (nblk, npad), 1)
+    e_exp = ((ea // 3) == ed).astype(jnp.float32)
+
+    for base in range(0, G, gil):
+        gs = range(base, base + gil)
+        kss = []
+        ds_row = []
+        for g in gs:
+            gexp = jax.lax.dot_general(g9_ref[g], e_exp, dn, **kw)  # (9,npad)
+            delta = jnp.zeros((npad, npad), jnp.float32)
+            for z in range(3):
+                for zp in range(3):
+                    delta = delta + (zrow[z] * zcol[zp]
+                                     * gexp[3 * z + zp][None, :])
+            k = hp_ref[g] + blockmask * delta
+            dcol = jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(k * eye, axis=1, keepdims=True), 1e-30))   # (npad,1)
+            drow = jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(k * eye, axis=0, keepdims=True), 1e-30))   # (1,npad)
+            ks = k * dcol * drow
+            kss.append(ks)
+            ds_row.append(drow)
+        khl = [_split(k) for k in kss]
+        xs = [
+            (1.0 / jnp.max(jnp.sum(jnp.abs(k), axis=-1))) * eye for k in kss
+        ]
+        for mu in mus:                        # scaled, bf16x3
+            kxs = [_mm3(khl[i][0], khl[i][1], xs[i]) for i in range(gil)]
+            xhl = [_split(x) for x in xs]
+            xs = [
+                mu * _mm3(xhl[i][0], xhl[i][1], 2.0 * eye - mu * kxs[i])
+                for i in range(gil)
+            ]
+        for _ in range(n_quad):               # quadratic, bf16x3
+            kxs = [_mm3(khl[i][0], khl[i][1], xs[i]) for i in range(gil)]
+            xhl = [_split(x) for x in xs]
+            xs = [
+                _mm3(xhl[i][0], xhl[i][1], 2.0 * eye - kxs[i])
+                for i in range(gil)
+            ]
+        for _ in range(n_hi):                 # quadratic, HIGHEST tail
+            kxs = [jax.lax.dot_general(kss[i], xs[i], dn, **kw)
+                   for i in range(gil)]
+            xs = [
+                jax.lax.dot_general(xs[i], 2.0 * eye - kxs[i], dn, **kw)
+                for i in range(gil)
+            ]
+        for i, g in enumerate(gs):
+            inv_ref[g] = xs[i]
+            ks_ref[g] = kss[i]
+            d_ref[g, 0] = ds_row[i][0]
+
+
+def ns_inverse_pallas_scaled_build(hp, g9, a0: float = 1e-5,
+                                   n_scaled: int = 9, n_quad: int = 2,
+                                   n_hi: int = 1, interpret: bool = False):
+    """Fused K-build + scaled NS inverse.
+
+    hp: (B, n_pad, n_pad) hess_n + sigma I, 128/256-padded with identity
+    diagonal on the pad; g9: (B, 9, nblk) gram blocks (pyramid_gram output
+    transposed to component-major). B a multiple of G. Returns
+    (inv, ks, d_row) with d_row (B, 1, n_pad) the Jacobi scale; inv and ks
+    are in the scaled space (K^-1 = d inv d, as _batched_solver uses them).
+    """
+    b, npad = hp.shape[0], hp.shape[-1]
+    nblk = g9.shape[-1]
+    assert b % G == 0
+    total = n_scaled + n_quad + n_hi
+    gil = G if npad <= 128 else 2
+    return pl.pallas_call(
+        functools.partial(_kernel_scaled_build_il, mu_schedule(a0, n_scaled),
+                          n_quad, n_hi, gil, nblk),
+        grid=(b // G,),
+        in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, 9, nblk), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
+            jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, npad), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * total * 2 * npad**3,
+            bytes_accessed=3 * b * npad * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(hp, g9)

@@ -437,6 +437,59 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool, schedule=None,
     return solve
 
 
+# A/B escape hatch for the fused K-build factorization path (benchmarks and
+# differential tests flip this to compare against the XLA-assembly path).
+_FUSED_BUILD = True
+
+
+def _batched_solver_fused(hp_g, g9, n: int, bsz: int, cfg: SolverConfig,
+                          schedule=None):
+    """Fused-build variant of `_batched_solver`: K assembly + Jacobi
+    prescale + scaled NS run inside ONE Pallas kernel
+    (ops/ns_inverse.ns_inverse_pallas_scaled_build).
+
+    Measured motivation (v5e, B=2048/n=120): the XLA K assembly (gram
+    broadcast + add + jnp.diagonal + prescale + pad) costs ~4.0 ms — equal
+    to the NS schedule itself — and runs once per factorization, 5x per
+    cold solve. hp_g: (B_pad, npad, npad) hess_n + sigma I, padded to the
+    kernel tile AND to a G-multiple batch (built ONCE per solve);
+    g9: (B, 9, nblk) gram components."""
+    from quadruped_ctrl_tpu.ops import ns_inverse as NI
+
+    npad = hp_g.shape[-1]
+    pad_b = hp_g.shape[0] - bsz
+    if pad_b:
+        g9 = jnp.concatenate(
+            [g9, jnp.zeros((pad_b,) + g9.shape[1:], g9.dtype)], axis=0)
+    if schedule is None:
+        schedule = (cfg.ns_a0, cfg.ns_scaled_iters, cfg.ns_quad_iters,
+                    cfg.ns_hi_iters)
+    inv_p, ks_p, d_p = NI.ns_inverse_pallas_scaled_build(hp_g, g9, *schedule)
+    inv_padded = inv_p[:bsz]
+    inv = inv_padded[:, :n, :n]
+    ks = ks_p[:bsz, :n, :n]
+    d = d_p[:bsz, 0, :n]
+    inv16 = inv.astype(jnp.bfloat16)
+
+    def solve(b_vec, refine: int = 2, lowp: bool = False):
+        bs = d * b_vec
+        if lowp:
+            x = jnp.einsum("bij,bj->bi", inv16, bs.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            return d * x
+        x = jnp.einsum("bij,bj->bi", inv, bs, precision=_HI)
+        for _ in range(refine):
+            r = bs - jnp.einsum("bij,bj->bi", ks, x, precision=_HI)
+            x = x + jnp.einsum("bij,bj->bi", inv, r, precision=_HI)
+        return d * x
+
+    solve.inv_padded = inv_padded
+    solve.scale = d
+    solve.inv = inv
+    solve.ks = ks
+    return solve
+
+
 def _gj_inverse(c, pivot: bool = True):
     """Batched (B,r,r) general-matrix inverse via Gauss-Jordan: r
     fully-batched elimination steps over the (B,r,2r) augmented system. Used
@@ -627,7 +680,27 @@ def admm_mpc_batched(
     admm_schedule = (cfg.ns_admm_a0, cfg.ns_admm_scaled_iters,
                      cfg.ns_quad_iters, cfg.ns_hi_iters)
 
+    hp_g = None
+    if use_pallas:
+        # hess_n + sigma I, tile-padded (identity diagonal) and G-padded —
+        # built ONCE per solve; every cold factorization then runs the
+        # fused K-build + NS kernel against it (see _batched_solver_fused)
+        from quadruped_ctrl_tpu.ops import ns_inverse as NI
+
+        npad_f = NI.pad_sizes(n)
+        hp_g = NI.pad_to(hess_n + cfg.sigma * eye[None], n, npad_f)
+        pad_bf = (-bsz) % NI.G
+        if pad_bf:
+            hp_g = jnp.concatenate(
+                [hp_g, jnp.broadcast_to(jnp.eye(npad_f, dtype=jnp.float32),
+                                        (pad_bf, npad_f, npad_f))], axis=0)
+
     def build_solver(w, schedule=None, prev_inv=None, prev_scale=None):
+        if use_pallas and prev_inv is None and _FUSED_BUILD:
+            gram = formation.pyramid_gram(cfg_mpc, w.reshape(bsz, h, nf, 5))
+            g9 = gram.reshape(bsz, h * nf, 9).transpose(0, 2, 1)  # (B,9,hnf)
+            return _batched_solver_fused(hp_g, g9, n, bsz, cfg,
+                                         schedule=schedule)
         gram = formation.pyramid_gram(cfg_mpc, w.reshape(bsz, h, nf, 5))
         gram = gram.reshape(bsz, h * nf, 3, 3)
         delta = (

@@ -46,12 +46,37 @@ def _darr(values) -> ctypes.Array:
     return (ctypes.c_double * a.size)(*a)
 
 
+def _fresh_lib() -> ctypes.CDLL:
+    """dlopen a FRESH copy of the golden library.
+
+    The reference keeps controller state in C++ globals/statics (GaitCtrller
+    constructed by init_controller plus function-level statics); dlopen
+    dedups by inode, so `ctypes.CDLL(LIB)` would hand every instance the
+    SAME statics — a second trace in one process inherits the first one's
+    residue (measured: mode-1 window-3 torque median 0.488 N*m fresh vs
+    0.737 N*m after a prior trot trace). Copying the .so to a unique path
+    gives each instance its own statics, making golden lanes hermetic and
+    order-independent."""
+    import shutil
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".so", prefix="quadruped_ref_")
+    os.close(fd)
+    shutil.copyfile(str(LIB), path)
+    lib = ctypes.CDLL(path)
+    try:
+        os.unlink(path)      # the mapping keeps the file alive (POSIX)
+    except OSError:
+        pass
+    return lib
+
+
 class ReferenceController:
     """The reference stack behind its own C ABI (GaitCtrller.h:63-99)."""
 
     def __init__(self, freq: float = 500.0,
                  pid=(100.0, 1.0, 0.0, 0.05)):
-        self.lib = ctypes.CDLL(str(LIB))
+        self.lib = _fresh_lib()
         self.lib.torque_calculator.restype = ctypes.POINTER(JointEff)
         self.lib.init_controller(ctypes.c_double(freq), _darr(pid))
 
@@ -79,7 +104,7 @@ class ReferenceMPC:
     testing on identical inputs (the JCQP main.cpp cross-solver pattern)."""
 
     def __init__(self):
-        self.lib = ctypes.CDLL(str(LIB))
+        self.lib = _fresh_lib()
         self.lib.setup_problem.argtypes = [
             ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ]

@@ -195,10 +195,51 @@ def _run_reference_trace(terrain, gait: int, vx: float, n: int, stand: int):
                 stand=stand, n=n)
 
 
+def _trace_subprocess(spec: dict, timeout: float = 2400.0) -> dict:
+    """Run a trace lane in a FRESH subprocess (tests/golden_trace_runner.py).
+
+    The reference C++ is deterministic only on a cold heap (it reads memory
+    it never wrote somewhere downstream of init_controller — see the runner
+    docstring for the measurement); in-process re-runs inherit dirty heap
+    pages and drift by up to ~0.25 N*m in the window medians depending on
+    which fixtures ran before. A fresh process (kernel-zeroed pages) is the
+    state the reference's own launcher runs it in and makes every lane
+    order-independent."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    fd, out = tempfile.mkstemp(suffix=".npz", prefix="golden_trace_")
+    os.close(fd)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "tests.golden_trace_runner", out,
+             json.dumps(spec)],
+            cwd=str(__import__("pathlib").Path(__file__).parent.parent),
+            env=os.environ.copy(),
+            capture_output=True,
+            timeout=timeout,
+        )
+        if proc.returncode != 0:
+            pytest.fail(
+                "golden trace subprocess failed:\n"
+                + proc.stderr.decode(errors="replace")[-2000:]
+            )
+        with np.load(out) as z:
+            return {k: (int(z[k]) if z[k].ndim == 0 else z[k]) for k in z}
+    finally:
+        try:
+            os.unlink(out)
+        except OSError:
+            pass
+
+
 @pytest.fixture(scope="module")
 def reference_driven_trace(ref_lib):
-    return _run_reference_trace(Terrain.plane(), gait=9, vx=0.4, n=780,
-                                stand=390)
+    return _trace_subprocess(dict(kind="simple", terrain="plane", gait=9,
+                                  vx=0.4, n=780, stand=390))
 
 
 @pytest.fixture(scope="module")
@@ -206,8 +247,9 @@ def reference_trace_walking_rough(ref_lib):
     """Second trace-parity lane (VERDICT r2 next #6): walking gait (10) on
     procedural rough terrain — a 3-stance gait pattern and terrain-excited
     contact timing, neither exercised by the trot@plane trace."""
-    terrain = Terrain.random(jax.random.PRNGKey(2), amplitude=0.03)
-    return _run_reference_trace(terrain, gait=10, vx=0.3, n=780, stand=390)
+    return _trace_subprocess(dict(kind="simple", terrain="random",
+                                  terrain_key=2, amplitude=0.03, gait=10,
+                                  vx=0.3, n=780, stand=390))
 
 
 def test_reference_controller_stabilizes_our_plant(reference_driven_trace):
@@ -358,8 +400,8 @@ def reference_trace_mode1(ref_lib):
     the phase-lagged boundary checks, band reshaping, and sticky-horizon
     semantics (controller._select_gait) against the reference's own mode-1
     behavior."""
-    return _run_reference_trace_profile(Terrain.plane(), MODE1_SEGMENTS,
-                                        n=1040)
+    return _trace_subprocess(dict(kind="profile", terrain="plane",
+                                  profile=MODE1_SEGMENTS, n=1040))
 
 
 def test_reference_mode1_stabilizes_our_plant(reference_trace_mode1):

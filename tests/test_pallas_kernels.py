@@ -238,3 +238,125 @@ def test_refine_kernel_from_warm_init():
     # and the refinement genuinely improved on the init
     resid0 = np.abs(np.asarray(ks) @ np.asarray(init) - eye).max()
     assert resid < 0.02 * resid0, (resid, resid0)
+
+
+# ---------------------------------------------------------------------------
+# Fused packed formation kernel (ops/formation_pack.py)
+
+
+@pytest.mark.parametrize("h,ms,pack,b", [
+    (10, 2, 2, 32),     # the flagship bench shape (120-var pairs, 128 tile)
+    (16, 2, 2, 16),     # h=16 fast-trot band (192-var pairs, 256 tile)
+    (16, 3, 1, 8),      # h=16 aio walking band (144-var, 256 tile)
+    (16, 4, 1, 8),      # h=16 uncompressed (192-var, 256 tile)
+    (10, 2, 2, 6),      # system count not divisible by the kernel group
+])
+def test_formation_pack_kernel_matches_xla(h, ms, pack, b):
+    """form_packed_pallas vs qp_cost_compressed_nil_sel + block-diagonal
+    embedding, including a non-trivial step mask. The kernel's Gram runs
+    bf16x3 (3 MXU passes): ~1e-6 relative on device; interpret mode
+    emulates the bf16 splits at bf16 arithmetic precision, so the CPU lane
+    gate is ~bf16 epsilon (the NS kernels' interpret lanes do the same)."""
+    from quadruped_ctrl_tpu.config import default_config
+    from quadruped_ctrl_tpu.mpc import formation, pipeline
+
+    cfg = default_config()
+    inputs = pipeline.random_inputs(jax.random.PRNGKey(h * ms + pack), b, h)
+    if ms >= 3:
+        rng = np.random.default_rng(0)
+        tbl = (rng.uniform(size=(h, 4)) < 0.75).astype(np.float32)
+        tbl[:, 0] = 1.0                      # at least one stance foot
+        for x in range(h):                   # clamp each step to ms stance
+            on = np.flatnonzero(tbl[x])
+            tbl[x, on[ms:]] = 0.0
+        inputs = inputs.replace(
+            gait_table=jnp.broadcast_to(jnp.asarray(tbl), (b, h, 4)))
+    adt, bdt = formation.srb_discrete(
+        cfg.mpc, inputs.r_feet, inputs.rpy[:, 2], inputs.x_drag, cfg.dt_mpc)
+    x0 = formation.build_x0(inputs.rpy, inputs.position, inputs.omega_world,
+                            inputs.v_world, cfg.mpc.gravity)
+    _, _, sel = formation.stance_selectors(inputs.gait_table, ms)
+    mask = np.ones((b, h), np.float32)
+    mask[:, -2:] = 0.0                       # exercise the step mask rows
+    mask = jnp.asarray(mask)
+    h_ref, g_ref = formation.qp_cost_packed(
+        cfg.mpc, adt, bdt, x0, inputs.traj, mask, sel, pack,
+        use_pallas=False)
+    h_k, g_k = formation.qp_cost_packed(
+        cfg.mpc, adt, bdt, x0, inputs.traj, mask, sel, pack,
+        use_pallas=ON_TPU, interpret=INTERPRET)
+    tol_h = 5e-6 if ON_TPU else 2e-2
+    rel_h = float(jnp.max(jnp.abs(h_k - h_ref)) / jnp.max(jnp.abs(h_ref)))
+    rel_g = float(jnp.max(jnp.abs(g_k - g_ref)) / jnp.max(jnp.abs(g_ref)))
+    assert rel_h < tol_h, rel_h
+    assert rel_g < 1e-5, rel_g
+    n_pair = pack * 3 * ms * h
+    assert h_k.shape == (b // pack, n_pair, n_pair)
+    assert g_k.shape == (b // pack, n_pair)
+    # symmetry of the packed Hessian (Gram + diagonal regularizer)
+    sym = float(jnp.max(jnp.abs(h_k - jnp.swapaxes(h_k, -1, -2))))
+    assert sym < 1e-3 * float(jnp.max(jnp.abs(h_k)))
+
+
+# ---------------------------------------------------------------------------
+# Fused K-build + scaled NS factorization (ns_inverse_pallas_scaled_build)
+
+
+@pytest.mark.parametrize("hv,nf,npad", [(20, 2, 128), (32, 2, 256)])
+def test_fused_kbuild_matches_xla_assembly(hv, nf, npad):
+    """The fused kernel's in-kernel K assembly (iota-mask gram expansion +
+    Jacobi prescale) must match the XLA assembly EXACTLY (it is the same
+    arithmetic), and its NS result must match the plain scaled kernel run
+    on the XLA-assembled ks (shared schedule code). The NS *convergence*
+    itself is the existing scaled-kernel tests' job — under interpret mode
+    the bf16x3 emulation can diverge on hard data for BOTH kernels
+    identically, so this test checks assembly exactness and kernel-vs-
+    kernel agreement, not the residual."""
+    from jax import lax
+
+    from quadruped_ctrl_tpu.config import default_config
+    from quadruped_ctrl_tpu.mpc import formation
+
+    cfg = default_config()
+    cs = cfg.solver
+    n = 3 * nf * hv
+    b = NI.G
+    m0 = jax.random.uniform(jax.random.PRNGKey(0), (b, n, n), jnp.float32,
+                            -1, 1)
+    hess_n = jnp.einsum("bij,bkj->bik", m0, m0) * 0.05 + 3.0 * jnp.eye(n)[None]
+    w = jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
+                                  (b, hv * nf * 5))) * 30.0
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    gram = formation.pyramid_gram(cfg.mpc, w.reshape(b, hv, nf, 5))
+    g4 = gram.reshape(b, hv * nf, 3, 3)
+    sel = jnp.eye(hv * nf, dtype=jnp.float32)
+    delta = (g4[:, :, :, None, :] * sel[None, :, None, :, None]
+             ).reshape(b, n, n)
+    k = hess_n + cs.sigma * eye[None] + delta
+    d_ref = lax.rsqrt(jnp.maximum(
+        jnp.diagonal(k, axis1=-2, axis2=-1), 1e-30))
+    ks_ref = k * d_ref[:, :, None] * d_ref[:, None, :]
+    ksp = NI.pad_to(ks_ref, n, npad)
+    inv_ref = NI.ns_inverse_pallas_scaled(
+        ksp, cs.ns_a0, cs.ns_scaled_iters, cs.ns_quad_iters, cs.ns_hi_iters,
+        interpret=INTERPRET)
+
+    hp = NI.pad_to(hess_n + cs.sigma * eye[None], n, npad)
+    g9 = gram.reshape(b, hv * nf, 9).transpose(0, 2, 1)
+    inv_f, ks_f, d_f = NI.ns_inverse_pallas_scaled_build(
+        hp, g9, cs.ns_a0, cs.ns_scaled_iters, cs.ns_quad_iters,
+        cs.ns_hi_iters, interpret=INTERPRET)
+
+    assert float(jnp.max(jnp.abs(ks_f[:, :n, :n] - ks_ref))) == 0.0
+    assert float(jnp.max(jnp.abs(d_f[:, 0, :n] - d_ref))) == 0.0
+    # pad region: identity diagonal, zero coupling
+    if npad > n:
+        assert float(jnp.max(jnp.abs(
+            ks_f[:, n:, :n]))) == 0.0
+        pd = jnp.diagonal(ks_f[:, n:, n:], axis1=-2, axis2=-1)
+        assert float(jnp.max(jnp.abs(pd - 1.0))) == 0.0
+    both = jnp.isfinite(inv_f) & jnp.isfinite(inv_ref)
+    assert float(jnp.max(jnp.abs(jnp.where(both, inv_f - inv_ref, 0.0)))) \
+        < 1e-6
+    assert bool(jnp.all(jnp.isfinite(inv_f) == jnp.isfinite(inv_ref)))
