@@ -28,6 +28,7 @@ guarantee completion under remote-tunnel TPU transports.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -73,6 +74,24 @@ def timed(fn, inputs, n_reps):
 
 
 def main():
+    # Lane-resilient structure (round-4 lesson: the h=16 lane's compile
+    # failure erased the whole round's perf record). Every lane runs in its
+    # own try/except; per-lane progress goes to stderr as it lands, and the
+    # final single JSON line on stdout is ALWAYS printed, carrying nulls +
+    # error strings for any lane that failed.
+    lane_errors = {}
+
+    def lane(name, fn):
+        try:
+            out = fn()
+            print(f"# lane {name}: ok", file=sys.stderr, flush=True)
+            return out
+        except Exception as e:  # noqa: BLE001 — record and keep going
+            lane_errors[name] = f"{type(e).__name__}: {str(e)[:400]}"
+            print(f"# lane {name}: FAIL {lane_errors[name]}",
+                  file=sys.stderr, flush=True)
+            return None
+
     cfg = default_config()
     h = 10
     batch = 4096
@@ -81,22 +100,32 @@ def main():
     polish = cfg.solver.polish_rounds
     inputs = pipeline.random_inputs(jax.random.PRNGKey(0), batch, h)
 
-    t_full = timed(lambda i: pipeline.solve_packed_batch(cfg, i), inputs,
-                   n_reps)
-    t_nopol = timed(
+    t_full = lane("h10_full", lambda: timed(
+        lambda i: pipeline.solve_packed_batch(cfg, i), inputs, n_reps))
+    t_nopol = lane("h10_nopolish", lambda: timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, polish_rounds=0),
-        inputs, n_reps,
-    )
+        inputs, n_reps))
     iter_min = 2 * (cfg.solver.rho_adapt + 1)
-    t_form_fact = timed(
+    t_form_fact = lane("h10_form_fact", lambda: timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, iterations=iter_min,
                                               polish_rounds=0),
-        inputs, n_reps,
-    )
-    t_form_meas = timed(
+        inputs, n_reps))
+    t_form_meas = lane("h10_form_only", lambda: timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, form_only=True),
-        inputs, n_reps,
-    )
+        inputs, n_reps))
+
+    # A/B: the fused K-build+NS factorization kernel vs the two-step
+    # (XLA assemble -> NS kernel) path, via the _FUSED_BUILD escape hatch
+    def ab_two_step():
+        from quadruped_ctrl_tpu.solver import admm
+        admm._FUSED_BUILD = False
+        try:
+            return timed(lambda i: pipeline.solve_packed_batch(cfg, i),
+                         inputs, n_reps)
+        finally:
+            admm._FUSED_BUILD = True
+
+    t_two_step = lane("h10_two_step_build", ab_two_step)
 
     # ---- analytic per-phase FLOP/byte models (per full batch) ----
     ms, pack = 2, 2                     # stance compression + pair packing
@@ -128,13 +157,6 @@ def main():
     flops_pol = polish * sysN * 2 * 3 * npad**2
     bytes_pol = polish * sysN * 3 * npad * npad * 4
 
-    t_iter = max(t_nopol - t_form_fact, 1e-9)
-    # formation is measured directly (form_only); factorize is the remainder
-    # of the measured formation+factorize bucket
-    t_form = t_form_meas
-    t_fact = max(t_form_fact - t_form, 1e-9)
-    t_pol = max(t_full - t_nopol, 1e-9)
-
     def phase(name, t, flops, bts, bound):
         attained = (flops / 1e12 / t / PEAK_F32_TFLOPS if bound == "mxu-f32"
                     else bts / 1e9 / t / PEAK_HBM_GBS)
@@ -147,13 +169,22 @@ def main():
             "attained_pct": round(100 * attained, 1),
         }
 
-    phases = [
-        phase("formation", t_form, flops_form, bytes_form, "mxu-f32"),
-        phase("factorize(NS)", t_fact, flops_fact, bytes_fact, "mxu-f32"),
-        phase("iterate(ADMM)", t_iter, flops_iter, bytes_iter, "hbm"),
-        phase("polish+fact", t_pol, flops_pol + flops_pol_fact,
-              bytes_pol + bytes_pol_fact, "hbm"),
-    ]
+    phases = None
+    if None not in (t_full, t_nopol, t_form_fact, t_form_meas):
+        t_iter = max(t_nopol - t_form_fact, 1e-9)
+        # formation is measured directly (form_only); factorize is the
+        # remainder of the measured formation+factorize bucket
+        t_form = t_form_meas
+        t_fact = max(t_form_fact - t_form, 1e-9)
+        t_pol = max(t_full - t_nopol, 1e-9)
+        phases = [
+            phase("formation", t_form, flops_form, bytes_form, "mxu-f32"),
+            phase("factorize(NS)", t_fact, flops_fact, bytes_fact,
+                  "mxu-f32"),
+            phase("iterate(ADMM)", t_iter, flops_iter, bytes_iter, "hbm"),
+            phase("polish+fact", t_pol, flops_pol + flops_pol_fact,
+                  bytes_pol + bytes_pol_fact, "hbm"),
+        ]
 
     # h=16 lane: the aio mode-1 horizon cap (ConvexMPCLocomotion.cpp:174-233).
     # Two shapes: the worst case (mid-speed bands, 3-4 stance feet -> no
@@ -162,14 +193,12 @@ def main():
     # pair-packed to 192)
     h16, b16 = 16, 2048
     inputs16 = pipeline.random_inputs(jax.random.PRNGKey(1), b16, h16)
-    t16 = timed(
+    t16 = lane("h16_full", lambda: timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=4, pack=1),
-        inputs16, 4,
-    )
-    t16t = timed(
+        inputs16, 4))
+    t16t = lane("h16_trot", lambda: timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=2, pack=2),
-        inputs16, 4,
-    )
+        inputs16, 4))
     # mid-band lane: the aio walking->trot morph band (0.2 < v <= 0.4,
     # ConvexMPCLocomotion.cpp:174-233) is a 3-STANCE h=16 gait, so it
     # compresses to ms=3 (144-var systems on the 256 kernel tile) instead
@@ -181,29 +210,34 @@ def main():
     offs = np.array([0, h16 // 2, o2, o3])
     steps = np.arange(h16)[:, None]
     tbl = (((steps - offs[None, :]) % h16) < dwt).astype(np.float32)
-    assert tbl.sum(axis=1).max() <= 3 * h16 and (tbl.sum(1) >= 1).all()
+    # every step must have <= 3 stance feet (the ms=3 compression is only
+    # exact then) and >= 1 (a zero-stance step has no variables)
+    assert tbl.sum(axis=1).max() <= 3 and (tbl.sum(1) >= 1).all()
     inputs16m = inputs16.replace(
         gait_table=jnp.broadcast_to(jnp.asarray(tbl), (b16, h16, 4))
     )
-    t16m = timed(
+    t16m = lane("h16_midband", lambda: timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=3, pack=1),
-        inputs16m, 4,
-    )
+        inputs16m, 4))
 
-    solves_per_s = batch / t_full
+    def rate(total, t):
+        return round(total / t, 1) if t else None
+
+    solves_per_s = (batch / t_full) if t_full else None
     print(
         json.dumps(
             {
                 "metric": "mpc_solves_per_s_per_chip",
-                "value": round(solves_per_s, 1),
+                "value": round(solves_per_s, 1) if solves_per_s else None,
                 "unit": "solves/s (h=10, batch=4096, full pipeline)",
-                "vs_baseline": round(solves_per_s / 10000.0, 3),
-                "h16_solves_per_s": round(b16 / t16, 1),
+                "vs_baseline": (round(solves_per_s / 10000.0, 3)
+                                if solves_per_s else None),
+                "h16_solves_per_s": rate(b16, t16),
                 "h16_unit": "solves/s (h=16, batch=2048, 192-var/256-tile)",
-                "h16_trot_solves_per_s": round(b16 / t16t, 1),
+                "h16_trot_solves_per_s": rate(b16, t16t),
                 "h16_trot_unit": "solves/s (h=16 fast-trot band, 2-stance "
                                  "compressed + pair-packed)",
-                "h16_midband_solves_per_s": round(b16 / t16m, 1),
+                "h16_midband_solves_per_s": rate(b16, t16m),
                 "h16_midband_unit": "solves/s (h=16 aio walking band, "
                                     "3-stance compressed, 144-var/256-tile)",
                 "h16_midband_note": "ms=3 compression (192->144 vars) keeps "
@@ -211,7 +245,14 @@ def main():
                                     "so the factorization work is unchanged; "
                                     "the gain over uncompressed comes from "
                                     "the iterate/formation phases only",
+                "fused_build_solves_per_s": rate(batch, t_full),
+                "two_step_build_solves_per_s": rate(batch, t_two_step),
+                "fused_build_note": "A/B of the fused K-build+NS Pallas "
+                                    "kernel vs XLA-assemble + NS kernel "
+                                    "(_FUSED_BUILD hatch), h=10 flagship "
+                                    "shape",
                 "phases": phases,
+                "lane_errors": lane_errors or None,
             }
         )
     )

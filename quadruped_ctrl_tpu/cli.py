@@ -87,6 +87,15 @@ def cmd_sim(args):
             "stairs": Terrain.stairs,
             "slope": Terrain.slope,
         }[args.terrain]()
+    if args.box:
+        vals = [[float(v) for v in b.split(",")] for b in args.box]
+        assert all(len(v) in (6, 7) for v in vals), \
+            "--box cx,cy,cz,hx,hy,hz[,yaw]"
+        terrain = terrain.with_boxes(
+            centers=[v[:3] for v in vals],
+            halves=[v[3:6] for v in vals],
+            yaws=[v[6] if len(v) == 7 else 0.0 for v in vals],
+        )
     gait = GAITS[args.gait]
     cmd = Command.create(args.vx, args.vy, args.wz, gait_type=gait,
                          robot_mode=args.mode)
@@ -236,6 +245,27 @@ def cmd_latency(args):
     return 0
 
 
+def cmd_kernels_smoke(args):
+    """Compile + run EVERY production Pallas kernel at production (batch,
+    tile) shapes on the current backend (the round-4 gap: kernels shipped
+    with zero on-device execution evidence). Non-zero exit on any failure;
+    artifact via --out (TPU_LANE_r{N}.txt)."""
+    import jax
+
+    from quadruped_ctrl_tpu.utils import kernels_smoke
+
+    header = (f"kernel smoke: backend={jax.default_backend()} "
+              f"devices={jax.device_count()}")
+    print(header, flush=True)
+    lines, failed = kernels_smoke.run_smoke(full=args.full)
+    tail = f"{len(lines)} cases, {failed} failed"
+    print(tail)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(header + "\n" + "\n".join(lines) + "\n" + tail + "\n")
+    return 1 if failed else 0
+
+
 def cmd_scaling(args):
     import json
 
@@ -291,6 +321,10 @@ def main(argv=None):
     s.add_argument("--terrain", default="plane",
                    help="plane | random | stairs | slope | file:<heightmap>"
                         " (.txt/.npy/image; the reference random2)")
+    s.add_argument("--box", action="append", default=[],
+                   metavar="CX,CY,CZ,HX,HY,HZ[,YAW]",
+                   help="add a solid box prop (repeatable; racetrack-style "
+                        "collision obstacle)")
     s.add_argument("--vx", type=float, default=0.5)
     s.add_argument("--vy", type=float, default=0.0)
     s.add_argument("--wz", type=float, default=0.0)
@@ -334,6 +368,15 @@ def main(argv=None):
 
     s = sub.add_parser("latency", help="control-cycle latency benchmark")
     s.set_defaults(fn=cmd_latency)
+
+    s = sub.add_parser(
+        "kernels-smoke",
+        help="compile+run every production Pallas kernel at production "
+             "shapes (on-device gate; --out records the artifact)")
+    s.add_argument("--out", default=None)
+    s.add_argument("--full", action="store_true", default=None,
+                   help="force production batches (default: auto by backend)")
+    s.set_defaults(fn=cmd_kernels_smoke)
 
     s = sub.add_parser("scaling", help="multi-device scaling-efficiency report")
     s.add_argument("--per-device-batch", type=int, default=256)

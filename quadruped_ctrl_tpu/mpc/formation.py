@@ -476,12 +476,18 @@ def qp_cost_packed(
     `qp_cost_compressed_nil_sel` + block-diagonal embedding (the
     differential-test reference)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # the kernel lowers pltpu.VMEM blocks — TPU only (a GPU backend
+        # would fail at lowering, and CPU runs the XLA reference path)
+        use_pallas = jax.default_backend() == "tpu"
     b = x_d.shape[0]
     h = x_d.shape[-2]
     ms = sel.shape[-2]
     n_c = h * ms * 3
     assert b % pack == 0
+    if pack * n_c > 256:
+        # beyond the kernel's 256 lane tile (e.g. pack=4 at h=16): the XLA
+        # block-diagonal embedding handles any pack size
+        use_pallas = interpret = False
     if use_pallas or interpret:
         from quadruped_ctrl_tpu.ops import formation_pack as FP
 

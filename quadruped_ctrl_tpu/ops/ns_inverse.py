@@ -299,12 +299,15 @@ def ns_inverse_pallas_scaled(ks, a0: float = 1e-5, n_scaled: int = 9,
 # The polish's Woodbury path (solver/admm.py) builds an APPROXIMATE inverse
 # M of each round's updated KKT system from the stored round-0 inverse plus
 # a rank-r active-set correction. M is algebraically exact but f32
-# cancellation at the polish conditioning (~1e5) leaves it ~1e-2 relative —
-# too coarse to solve with, but a superb NS starting point: each iteration
-# squares the residual, so quad+hi reaches the cold schedule's floor in 2
-# iterations instead of 12. No per-system guard (the correction always
-# accounts for the active-set change), so none of the both-branches Mosaic
-# tax that sank ns_inverse_pallas_warm.
+# cancellation leaves a STRUCTURED error whose NS residual ||I - K M|| was
+# measured ~0.2 for constraint ADDITIONS (removals diverge — see the
+# solver's add-only clamping note). That is the contract: the init's NS
+# residual must be < 1; each iteration then squares it, so quad+hi reaches
+# near the cold schedule's floor in 2 iterations instead of 12. (An
+# elementwise-relative error bound is NOT sufficient: 1e-2 relative at
+# cond 1e4 is NS residual ~1e-2*cond >> 1, which rightly diverges — the
+# kernel is guard-free, unlike ns_inverse_pallas_warm, so callers must
+# guarantee the residual bound structurally.)
 
 
 def _kernel_refine(n_quad: int, n_hi: int, gil: int, k_ref, init_ref,
@@ -346,7 +349,11 @@ def ns_inverse_pallas_refine(ks, init, n_quad: int = 1, n_hi: int = 1,
     its f32 floor). Returns the refined inverse."""
     b, npad = ks.shape[0], ks.shape[-1]
     assert b % G == 0
-    gil = G if npad <= 128 else 2
+    # 256 tile: TWO double-buffered (G,256,256) inputs + one output leave
+    # no scoped-VMEM headroom for a gil=2 working set at multi-step grids
+    # (same failure class as the round-4 scaled_build crash — caught by
+    # cli kernels-smoke); gil=1 fits
+    gil = G if npad <= 128 else 1
     return pl.pallas_call(
         functools.partial(_kernel_refine, n_quad, n_hi, gil),
         grid=(b // G,),
@@ -510,26 +517,42 @@ def make_ns_inverse(iters: int = 25):
 # caller's solves need refinement against K).
 
 def _kernel_scaled_build_il(mus, n_quad: int, n_hi: int, gil: int,
-                            nblk: int, hp_ref, g9_ref, inv_ref, ks_ref,
-                            d_ref):
+                            nblk: int, emit_ks: bool, hp_ref, g9_ref,
+                            *out_refs):
     """Per system: K = hp + blockdiag3(gram), ks = D K D (Jacobi), then the
     interleaved scaled NS schedule (see _kernel_scaled_il).
 
     g9_ref[g]: (9, nblk) gram components in (z*3+z', block) order, where
     block d covers variables 3d..3d+2 (h*nf force blocks). The expansion to
     (n, n) uses iota masks + one (9, nblk)@(nblk, npad) matmul — no gathers.
+
+    With `emit_ks` the scaled K is written out alongside the inverse (the
+    caller's iterative-refinement matvecs then read it from HBM); without
+    it only (inv, d_row) are emitted and the caller reconstructs K matvecs
+    from hp + the gram blocks. At the 256 tile the extra double-buffered
+    (G,256,256) output is what pushed the kernel over the 16M scoped-VMEM
+    limit (BENCH_r04 crash), so 256 runs emit_ks=False.
     """
+    if emit_ks:
+        inv_ref, ks_ref, d_ref = out_refs
+    else:
+        inv_ref, d_ref = out_refs
     npad = hp_ref.shape[-1]
     eye = jnp.eye(npad, dtype=jnp.float32)
     dn = (((1,), (0,)), ((), ()))
     kw = dict(precision=jax.lax.Precision.HIGHEST,
               preferred_element_type=jnp.float32)
-    # iota-built masks (shared across systems)
+    # iota-built masks (shared across systems). The z-pattern masks are
+    # rank-1: (npad,1) row-phase selectors x (1,npad) column vectors — the
+    # six full (npad,npad) z-masks of the round-4 kernel were ~1.5M of
+    # resident scratch that the 256 tile cannot afford.
     rd = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
     cd = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
     blockmask = ((rd // 3) == (cd // 3)).astype(jnp.float32)
-    zrow = [(rd % 3 == z).astype(jnp.float32) for z in range(3)]
-    zcol = [(cd % 3 == z).astype(jnp.float32) for z in range(3)]
+    rz = jax.lax.broadcasted_iota(jnp.int32, (npad, 1), 0) % 3
+    cz = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1) % 3
+    rowsel = [(rz == z).astype(jnp.float32) for z in range(3)]    # (npad,1)
+    colsel = [(cz == z).astype(jnp.float32) for z in range(3)]    # (1,npad)
     # E[d, a] = (a//3 == d): expands per-block values to lanes
     ed = jax.lax.broadcasted_iota(jnp.int32, (nblk, npad), 0)
     ea = jax.lax.broadcasted_iota(jnp.int32, (nblk, npad), 1)
@@ -541,11 +564,14 @@ def _kernel_scaled_build_il(mus, n_quad: int, n_hi: int, gil: int,
         ds_row = []
         for g in gs:
             gexp = jax.lax.dot_general(g9_ref[g], e_exp, dn, **kw)  # (9,npad)
+            # delta[r,c] = gexp[3*(r%3)+(c%3), c]: per row-phase z, the
+            # column vector m_z[c] = gexp[3z+(c%3), c] broadcast to rows
             delta = jnp.zeros((npad, npad), jnp.float32)
             for z in range(3):
-                for zp in range(3):
-                    delta = delta + (zrow[z] * zcol[zp]
-                                     * gexp[3 * z + zp][None, :])
+                m_z = (colsel[0] * gexp[3 * z + 0][None, :]
+                       + colsel[1] * gexp[3 * z + 1][None, :]
+                       + colsel[2] * gexp[3 * z + 2][None, :])   # (1,npad)
+                delta = delta + rowsel[z] * m_z
             k = hp_ref[g] + blockmask * delta
             dcol = jax.lax.rsqrt(jnp.maximum(
                 jnp.sum(k * eye, axis=1, keepdims=True), 1e-30))   # (npad,1)
@@ -581,13 +607,15 @@ def _kernel_scaled_build_il(mus, n_quad: int, n_hi: int, gil: int,
             ]
         for i, g in enumerate(gs):
             inv_ref[g] = xs[i]
-            ks_ref[g] = kss[i]
+            if emit_ks:
+                ks_ref[g] = kss[i]
             d_ref[g, 0] = ds_row[i][0]
 
 
 def ns_inverse_pallas_scaled_build(hp, g9, a0: float = 1e-5,
                                    n_scaled: int = 9, n_quad: int = 2,
-                                   n_hi: int = 1, interpret: bool = False):
+                                   n_hi: int = 1, emit_ks: bool | None = None,
+                                   interpret: bool = False):
     """Fused K-build + scaled NS inverse.
 
     hp: (B, n_pad, n_pad) hess_n + sigma I, 128/256-padded with identity
@@ -595,37 +623,45 @@ def ns_inverse_pallas_scaled_build(hp, g9, a0: float = 1e-5,
     transposed to component-major). B a multiple of G. Returns
     (inv, ks, d_row) with d_row (B, 1, n_pad) the Jacobi scale; inv and ks
     are in the scaled space (K^-1 = d inv d, as _batched_solver uses them).
+
+    `emit_ks` defaults to True at the 128 tile and False at 256: the second
+    double-buffered (G,256,256) output put the kernel ~5M over the 16M
+    scoped-VMEM limit at production batch (the BENCH_r04 crash); without it
+    ks is returned as None and callers reconstruct K matvecs from (hp, g9)
+    on the XLA side (_batched_solver_fused does).
     """
     b, npad = hp.shape[0], hp.shape[-1]
     nblk = g9.shape[-1]
     assert b % G == 0
+    if emit_ks is None:
+        emit_ks = npad <= 128
     total = n_scaled + n_quad + n_hi
     gil = G if npad <= 128 else 2
-    return pl.pallas_call(
+    big_spec = pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((G, 1, npad), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    big_shape = jax.ShapeDtypeStruct((b, npad, npad), jnp.float32)
+    d_shape = jax.ShapeDtypeStruct((b, 1, npad), jnp.float32)
+    out = pl.pallas_call(
         functools.partial(_kernel_scaled_build_il, mu_schedule(a0, n_scaled),
-                          n_quad, n_hi, gil, nblk),
+                          n_quad, n_hi, gil, nblk, emit_ks),
         grid=(b // G,),
-        in_specs=[pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[big_spec,
                   pl.BlockSpec((G, 9, nblk), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, npad, npad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, npad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
-            jax.ShapeDtypeStruct((b, npad, npad), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, npad), jnp.float32),
-        ),
+        out_specs=((big_spec, big_spec, d_spec) if emit_ks
+                   else (big_spec, d_spec)),
+        out_shape=((big_shape, big_shape, d_shape) if emit_ks
+                   else (big_shape, d_shape)),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * total * 2 * npad**3,
-            bytes_accessed=3 * b * npad * npad * 4,
+            bytes_accessed=(3 if emit_ks else 2) * b * npad * npad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(hp, g9)
+    if emit_ks:
+        return out
+    inv, d_row = out
+    return inv, None, d_row

@@ -182,6 +182,15 @@ def batch_terrains(batch: int, key, kinds=("plane",), grid=(64, 64)):
             ts.append(Terrain.stairs(grid=grid))
         elif kind == "slope":
             ts.append(Terrain.slope(grid=grid))
+        elif kind == "boxes":
+            # racetrack-style prop scenario: a low platform straddling the
+            # +x path (steppable) and a tall crate offset to the side (the
+            # robot walks past it) — cf. the reference racetrack world's
+            # collision props (worlds/racetrack_day.world:32-45)
+            ts.append(Terrain.plane(grid).with_boxes(
+                centers=[[0.9, 0.0, 0.01], [1.0, 0.6, 0.25]],
+                halves=[[0.35, 0.6, 0.01], [0.2, 0.2, 0.25]],
+            ))
         elif kind.startswith("file:"):
             path = kind[5:]
             if path not in loaded:

@@ -25,11 +25,25 @@ TERRAIN_SLOPE = 3
 TERRAIN_HEIGHTMAP = 4   # heightmap array/file (reference "random2")
 
 DEFAULT_GRID = (64, 64)
+MAX_BOXES = 4           # static prop-slot count (unused slots are inert)
 
 
 @struct.dataclass
 class Terrain:
-    """Batched terrain parameters; `kind` selects the height function."""
+    """Batched terrain parameters; `kind` selects the height function.
+
+    Box props (`box_*`) are STATIC OBSTACLES layered over any base kind:
+    the reference's racetrack world ships models with real <collision>
+    elements that PyBullet loads as solid props
+    (/root/reference/worlds/racetrack_day.world:32-45,
+    models/aws_robomaker_racetrack_Ground_01/model.sdf, parsed at
+    scripts/walking_simulation.py:153-156). Here each prop is a yaw-rotated
+    box; the contact query treats a box as its walkable top surface (the
+    point-foot support height), so robots can step ONTO or walk PAST props.
+    A true overhang (archway interior) is outside the support-height
+    contact model — it renders in the camera scene but a foot under it
+    contacts the base terrain.
+    """
 
     kind: jnp.ndarray          # () int32
     # heightfield: (H, W) grid, scale meters/cell
@@ -39,7 +53,15 @@ class Terrain:
     stair_depth: jnp.ndarray   # ()
     stair_height: jnp.ndarray  # ()
     stair_x0: jnp.ndarray      # ()
-    # slope: grade in x
+    # box props: center (K,3), half-extent (K,3), yaw (K,); half_z == 0
+    # marks an empty slot
+    box_center: jnp.ndarray    # (MAX_BOXES, 3)
+    box_half: jnp.ndarray      # (MAX_BOXES, 3)
+    box_yaw: jnp.ndarray       # (MAX_BOXES,)
+    # slope: grade in x. NOTE: must stay the LAST field — the `slope`
+    # STATICMETHOD below shares its name, so dataclasses picks the method
+    # object up as this field's default; any field declared after it would
+    # be a non-default-after-default TypeError.
     slope: jnp.ndarray         # ()
 
     @staticmethod
@@ -52,6 +74,26 @@ class Terrain:
             stair_height=jnp.asarray(0.02, jnp.float32),
             stair_x0=jnp.asarray(1.0, jnp.float32),
             slope=jnp.asarray(0.0, jnp.float32),
+            box_center=jnp.zeros((MAX_BOXES, 3), jnp.float32),
+            box_half=jnp.zeros((MAX_BOXES, 3), jnp.float32),
+            box_yaw=jnp.zeros((MAX_BOXES,), jnp.float32),
+        )
+
+    def with_boxes(self, centers, halves, yaws=None):
+        """Place up to MAX_BOXES solid box props on this terrain.
+
+        centers/halves: (k, 3) world center and half-extents; yaws: (k,)
+        rotation about z (default 0). Slots beyond k stay inert."""
+        centers = jnp.asarray(centers, jnp.float32).reshape(-1, 3)
+        halves = jnp.asarray(halves, jnp.float32).reshape(-1, 3)
+        k = centers.shape[0]
+        assert k <= MAX_BOXES and halves.shape[0] == k
+        yaws = (jnp.zeros((k,), jnp.float32) if yaws is None
+                else jnp.asarray(yaws, jnp.float32).reshape(-1))
+        return self.replace(
+            box_center=self.box_center.at[:k].set(centers),
+            box_half=self.box_half.at[:k].set(halves),
+            box_yaw=self.box_yaw.at[:k].set(yaws),
         )
 
     @staticmethod
@@ -130,8 +172,30 @@ class Terrain:
         )
 
 
+def box_support(terrain: Terrain, x, y):
+    """Support height contributed by box props at world (x, y): the top
+    face of any box whose (yaw-rotated) footprint contains the point,
+    -inf elsewhere. Broadcasts like height_at."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    dx = x[..., None] - terrain.box_center[:, 0]
+    dy = y[..., None] - terrain.box_center[:, 1]
+    c, s = jnp.cos(terrain.box_yaw), jnp.sin(terrain.box_yaw)
+    lx = c * dx + s * dy
+    ly = -s * dx + c * dy
+    inside = (
+        (jnp.abs(lx) <= terrain.box_half[:, 0])
+        & (jnp.abs(ly) <= terrain.box_half[:, 1])
+        & (terrain.box_half[:, 2] > 0.0)
+    )
+    top = terrain.box_center[:, 2] + terrain.box_half[:, 2]
+    return jnp.max(jnp.where(inside, top, -jnp.inf), axis=-1)
+
+
 def height_at(terrain: Terrain, x, y):
-    """Terrain height at world (x, y); broadcasts over trailing dims."""
+    """Terrain support height at world (x, y); broadcasts over trailing
+    dims. Box props (racetrack-style collision models) stack over the base
+    kind via max — a foot on a prop footprint contacts the prop top."""
     hw = terrain.heightfield.shape
     gx = jnp.clip(x / terrain.cell_size + hw[0] / 2, 0, hw[0] - 1).astype(jnp.int32)
     gy = jnp.clip(y / terrain.cell_size + hw[1] / 2, 0, hw[1] - 1).astype(jnp.int32)
@@ -141,7 +205,7 @@ def height_at(terrain: Terrain, x, y):
     ) * terrain.stair_height
     h_slope = terrain.slope * x
     zero = jnp.zeros_like(jnp.asarray(x, jnp.float32))
-    return jnp.select(
+    base = jnp.select(
         [
             (terrain.kind == TERRAIN_RANDOM)
             | (terrain.kind == TERRAIN_HEIGHTMAP),
@@ -151,3 +215,4 @@ def height_at(terrain: Terrain, x, y):
         [h_field, h_stairs, h_slope],
         zero,
     )
+    return jnp.maximum(base, box_support(terrain, x, y))

@@ -457,7 +457,9 @@ def _batched_solver_fused(hp_g, g9, n: int, bsz: int, cfg: SolverConfig,
     from quadruped_ctrl_tpu.ops import ns_inverse as NI
 
     npad = hp_g.shape[-1]
+    nblk = n // 3
     pad_b = hp_g.shape[0] - bsz
+    g9_u = g9                           # unpadded, for K-matvec fallback
     if pad_b:
         g9 = jnp.concatenate(
             [g9, jnp.zeros((pad_b,) + g9.shape[1:], g9.dtype)], axis=0)
@@ -467,8 +469,27 @@ def _batched_solver_fused(hp_g, g9, n: int, bsz: int, cfg: SolverConfig,
     inv_p, ks_p, d_p = NI.ns_inverse_pallas_scaled_build(hp_g, g9, *schedule)
     inv_padded = inv_p[:bsz]
     inv = inv_padded[:, :n, :n]
-    ks = ks_p[:bsz, :n, :n]
     d = d_p[:bsz, 0, :n]
+    if ks_p is not None:
+        ks = ks_p[:bsz, :n, :n]
+        k_scaled_mv = None
+    else:
+        # 256 tile: the kernel skips the ks output (scoped-VMEM budget —
+        # see ns_inverse_pallas_scaled_build). Refinement matvecs against
+        # the scaled K are reconstructed as d*(K@(d*x)) with
+        # K = hp + blockdiag3(gram): same arithmetic as the in-kernel
+        # assembly, one dense (B,n,n) matvec + a tiny block-diag apply.
+        ks = None
+        hp_n = hp_g[:bsz, :n, :n]
+        g4 = g9_u.transpose(0, 2, 1).reshape(bsz, nblk, 3, 3)
+
+        def k_scaled_mv(x):
+            xu = d * x
+            ku = jnp.einsum("bij,bj->bi", hp_n, xu, precision=_HI)
+            ku = ku + jnp.einsum("bdij,bdj->bdi", g4,
+                                 xu.reshape(bsz, nblk, 3),
+                                 precision=_HI).reshape(bsz, n)
+            return d * ku
     inv16 = inv.astype(jnp.bfloat16)
 
     def solve(b_vec, refine: int = 2, lowp: bool = False):
@@ -479,7 +500,9 @@ def _batched_solver_fused(hp_g, g9, n: int, bsz: int, cfg: SolverConfig,
             return d * x
         x = jnp.einsum("bij,bj->bi", inv, bs, precision=_HI)
         for _ in range(refine):
-            r = bs - jnp.einsum("bij,bj->bi", ks, x, precision=_HI)
+            ksx = (jnp.einsum("bij,bj->bi", ks, x, precision=_HI)
+                   if ks is not None else k_scaled_mv(x))
+            r = bs - ksx
             x = x + jnp.einsum("bij,bj->bi", inv, r, precision=_HI)
         return d * x
 
@@ -647,7 +670,9 @@ def admm_mpc_batched(
     n_iter = cfg.iterations if iterations is None else iterations
     polish_rounds = cfg.polish_rounds if polish_rounds is None else polish_rounds
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # Pallas kernels lower pltpu.VMEM blocks — TPU only (a GPU backend
+        # would fail at lowering; CPU runs the XLA reference path)
+        use_pallas = jax.default_backend() == "tpu"
     bsz, h, nf = gait_table.shape
     n = 3 * nf * h
     dtype = hess.dtype
@@ -695,8 +720,15 @@ def admm_mpc_batched(
                 [hp_g, jnp.broadcast_to(jnp.eye(npad_f, dtype=jnp.float32),
                                         (pad_bf, npad_f, npad_f))], axis=0)
 
+    # the 256-tile fused kernel does not emit ks (scoped-VMEM budget); the
+    # off-by-default Woodbury polish needs solve.ks materialized, so its
+    # round-0 factorization takes the two-step path there
+    fused_ok = _FUSED_BUILD and not (
+        cfg.polish_woodbury and polish_rounds > 1 and use_pallas
+        and hp_g is not None and hp_g.shape[-1] > 128)
+
     def build_solver(w, schedule=None, prev_inv=None, prev_scale=None):
-        if use_pallas and prev_inv is None and _FUSED_BUILD:
+        if use_pallas and prev_inv is None and fused_ok:
             gram = formation.pyramid_gram(cfg_mpc, w.reshape(bsz, h, nf, 5))
             g9 = gram.reshape(bsz, h * nf, 9).transpose(0, 2, 1)  # (B,9,hnf)
             return _batched_solver_fused(hp_g, g9, n, bsz, cfg,

@@ -228,7 +228,7 @@ def _trace_subprocess(spec: dict, timeout: float = 2400.0) -> dict:
                 + proc.stderr.decode(errors="replace")[-2000:]
             )
         with np.load(out) as z:
-            return {k: (int(z[k]) if z[k].ndim == 0 else z[k]) for k in z}
+            return {k: (z[k].item() if z[k].ndim == 0 else z[k]) for k in z}
     finally:
         try:
             os.unlink(out)
