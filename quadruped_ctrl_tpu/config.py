@@ -197,6 +197,13 @@ class SolverConfig:
     # hardware with f64 or extended-precision accumulation; the cold
     # per-round factorization (the JCQP/qpOASES refactorization role,
     # SolverMPC.cpp:530-532) remains the production path.
+    # Round-5 re-examination (VERDICT r04 task 9), under the fixed refine
+    # harness and the fused K-build: STILL negative on both axes — v5e
+    # flagship A/B 79,331 (woodbury) vs 93,507 (cold) solves/s, and step-0
+    # force divergence vs the cold path q99 ~1.0 N / max 13 N (the f32
+    # soundness issue, unchanged). The refine kernel itself is healthy
+    # (test_refine_kernel_from_warm_init) — the Woodbury-built INIT is
+    # what exceeds its convergence region on removal-heavy rounds.
     polish_woodbury: bool = False
     polish_woodbury_rank: int = 8
     # Warm-NS schedule for the Woodbury-seeded refactorization (quadratic

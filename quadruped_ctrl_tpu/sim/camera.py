@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from quadruped_ctrl_tpu.core import rotations as rot
 from quadruped_ctrl_tpu.models import leg_kinematics
-from quadruped_ctrl_tpu.sim.terrain import Terrain, height_at
+from quadruped_ctrl_tpu.sim.terrain import (Terrain, base_height_at,
+                                            box_occupancy, height_at)
 
 WIDTH, HEIGHT = 80, 60
 FOV_DEG = 60.0
@@ -131,8 +132,13 @@ def render_depth(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
 
     ts = jnp.linspace(NEAR, FAR, n_steps, dtype=jnp.float32)  # (S,)
     pts = eye[None, None, None, :] + ts[:, None, None, None] * dirs[None]  # (S,H,W,3)
-    ground = height_at(terrain, pts[..., 0], pts[..., 1])
+    # base terrain kind only: box props are traced as TRUE 3D volumes
+    # below (a support-height column would image a floating prop as a wall
+    # down to the ground — PyBullet renders the actual collision box)
+    ground = base_height_at(terrain, pts[..., 0], pts[..., 1])
     below = pts[..., 2] <= ground
+    hit_prop = box_occupancy(terrain, pts)                     # (S,H,W)
+    below = below | hit_prop
     if robot is not None:
         cfg_robot, q = robot
         prims = robot_primitives(cfg_robot, base_p, base_quat, q)
@@ -145,7 +151,9 @@ def render_depth(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
     any_hit = jnp.any(below, axis=0)
     depth = jnp.where(any_hit, ts[first], FAR)
     is_robot = jnp.take_along_axis(hit_robot, first[None], axis=0)[0] & any_hit
-    return depth, dirs, eye, is_robot
+    is_prop = (jnp.take_along_axis(hit_prop, first[None], axis=0)[0]
+               & any_hit & ~is_robot)
+    return depth, dirs, eye, is_robot, is_prop
 
 
 def point_cloud(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
@@ -154,8 +162,8 @@ def point_cloud(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
     back-projection loop, vectorized). With `robot=(cfg_robot, q)`,
     self-points from the robot's own body/legs enter the cloud, as they do
     in the reference's /generated_pc."""
-    depth, dirs, eye, _ = render_depth(terrain, base_p, base_quat, n_steps,
-                                       robot=robot)
+    depth, dirs, eye, _, _ = render_depth(terrain, base_p, base_quat,
+                                          n_steps, robot=robot)
     pts = eye[None, None, :] + depth[..., None] * dirs
     valid = (depth > NEAR) & (depth < FAR - 1e-3)
     return pts.reshape(-1, 3), valid.reshape(-1)
@@ -171,14 +179,17 @@ def render_rgb(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
     attenuation; sky (no hit) renders light blue; robot self-geometry
     (when `robot=(cfg_robot, q)`) renders as a distance-attenuated dark
     gray body."""
-    depth, dirs, eye, is_robot = render_depth(terrain, base_p, base_quat,
-                                              n_steps, robot=robot)
+    depth, dirs, eye, is_robot, is_prop = render_depth(
+        terrain, base_p, base_quat, n_steps, robot=robot)
     pts = eye[None, None, :] + depth[..., None] * dirs        # (H,W,3)
     eps = 0.05
-    hx1 = height_at(terrain, pts[..., 0] + eps, pts[..., 1])
-    hx0 = height_at(terrain, pts[..., 0] - eps, pts[..., 1])
-    hy1 = height_at(terrain, pts[..., 0], pts[..., 1] + eps)
-    hy0 = height_at(terrain, pts[..., 0], pts[..., 1] - eps)
+    # base-kind normals: prop pixels get their own flat tint below, and a
+    # box column in the support-height query would put wall-steep gradients
+    # on the terrain pixels beside a prop
+    hx1 = base_height_at(terrain, pts[..., 0] + eps, pts[..., 1])
+    hx0 = base_height_at(terrain, pts[..., 0] - eps, pts[..., 1])
+    hy1 = base_height_at(terrain, pts[..., 0], pts[..., 1] + eps)
+    hy0 = base_height_at(terrain, pts[..., 0], pts[..., 1] - eps)
     n = jnp.stack(
         [-(hx1 - hx0) / (2 * eps), -(hy1 - hy0) / (2 * eps),
          jnp.ones_like(hx1)], axis=-1,
@@ -199,6 +210,11 @@ def render_rgb(terrain: Terrain, base_p, base_quat, n_steps: int = 48,
     sky = jnp.asarray([0.70, 0.82, 0.95], jnp.float32)
     rgb = jnp.where(hit[..., None], shade[..., None] * albedo,
                     sky[None, None, :])
+    # box props: crate-tan albedo with distance attenuation (their exact
+    # faceted normals aren't worth a per-face trace at 80x60)
+    prop_tan = jnp.asarray([0.60, 0.48, 0.32], jnp.float32)
+    rgb = jnp.where(is_prop[..., None],
+                    atten[..., None] * prop_tan[None, None, :], rgb)
     robot_gray = jnp.asarray([0.25, 0.26, 0.28], jnp.float32)
     rgb = jnp.where(is_robot[..., None],
                     atten[..., None] * robot_gray[None, None, :], rgb)

@@ -192,10 +192,27 @@ def box_support(terrain: Terrain, x, y):
     return jnp.max(jnp.where(inside, top, -jnp.inf), axis=-1)
 
 
-def height_at(terrain: Terrain, x, y):
-    """Terrain support height at world (x, y); broadcasts over trailing
-    dims. Box props (racetrack-style collision models) stack over the base
-    kind via max — a foot on a prop footprint contacts the prop top."""
+def box_occupancy(terrain: Terrain, pts):
+    """Boolean: world points pts (..., 3) inside any box prop's VOLUME
+    (yaw-rotated, z-bounded) — the true-3D query the camera renderer uses,
+    so overhanging/floating props image correctly even though the contact
+    model only sees their support height."""
+    d = pts[..., None, :] - terrain.box_center                 # (...,K,3)
+    c, s = jnp.cos(terrain.box_yaw), jnp.sin(terrain.box_yaw)
+    lx = c * d[..., 0] + s * d[..., 1]
+    ly = -s * d[..., 0] + c * d[..., 1]
+    inside = (
+        (jnp.abs(lx) <= terrain.box_half[:, 0])
+        & (jnp.abs(ly) <= terrain.box_half[:, 1])
+        & (jnp.abs(d[..., 2]) <= terrain.box_half[:, 2])
+        & (terrain.box_half[:, 2] > 0.0)
+    )
+    return jnp.any(inside, axis=-1)
+
+
+def base_height_at(terrain: Terrain, x, y):
+    """Height of the base terrain KIND alone (no box props); broadcasts
+    over trailing dims."""
     hw = terrain.heightfield.shape
     gx = jnp.clip(x / terrain.cell_size + hw[0] / 2, 0, hw[0] - 1).astype(jnp.int32)
     gy = jnp.clip(y / terrain.cell_size + hw[1] / 2, 0, hw[1] - 1).astype(jnp.int32)
@@ -205,7 +222,7 @@ def height_at(terrain: Terrain, x, y):
     ) * terrain.stair_height
     h_slope = terrain.slope * x
     zero = jnp.zeros_like(jnp.asarray(x, jnp.float32))
-    base = jnp.select(
+    return jnp.select(
         [
             (terrain.kind == TERRAIN_RANDOM)
             | (terrain.kind == TERRAIN_HEIGHTMAP),
@@ -215,4 +232,12 @@ def height_at(terrain: Terrain, x, y):
         [h_field, h_stairs, h_slope],
         zero,
     )
-    return jnp.maximum(base, box_support(terrain, x, y))
+
+
+def height_at(terrain: Terrain, x, y):
+    """Terrain SUPPORT height at world (x, y) — the contact query;
+    broadcasts over trailing dims. Box props (racetrack-style collision
+    models) stack over the base kind via max: a foot on a prop footprint
+    contacts the prop top."""
+    return jnp.maximum(base_height_at(terrain, x, y),
+                       box_support(terrain, x, y))

@@ -10,9 +10,10 @@ def test_depth_render_flat_ground():
     terrain = Terrain.plane()
     p = jnp.array([0.0, 0.0, 0.3], jnp.float32)
     quat = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
-    depth, dirs, eye, is_robot = jax.jit(
+    depth, dirs, eye, is_robot, is_prop = jax.jit(
         lambda: camera.render_depth(terrain, p, quat)
     )()
+    assert not np.asarray(is_prop).any()    # no box props on this plane
     assert not np.asarray(is_robot).any()   # no robot geometry passed
     depth = np.asarray(depth)
     assert depth.shape == (camera.HEIGHT, camera.WIDTH)
@@ -91,10 +92,10 @@ def test_robot_self_occlusion():
          [0.0, -0.8, 1.6], [0.0, -0.8, 1.6]], jnp.float32
     )
     robot = (cfg.robot, q)
-    depth_r, _, eye, is_robot = jax.jit(
+    depth_r, _, eye, is_robot, _ = jax.jit(
         lambda: camera.render_depth(terrain, p, quat, robot=robot)
     )()
-    depth_t, _, _, _ = jax.jit(
+    depth_t, _, _, _, _ = jax.jit(
         lambda: camera.render_depth(terrain, p, quat)
     )()
     is_robot = np.asarray(is_robot)

@@ -84,3 +84,48 @@ def test_trot_over_and_past_boxes():
     over = (p[:, 0] > 0.7) & (p[:, 0] < 1.1)
     if over.sum() > 50:
         assert p[over, 2].mean() > p[:200, 2].mean() - 0.02
+
+
+def test_camera_renders_box_props():
+    """Props image as TRUE 3D volumes (the PyBullet camera sees the actual
+    collision box): a grounded crate ahead of the camera produces nearer
+    prop pixels, while a FLOATING box above every ray leaves the depth
+    image identical to the bare plane — under a support-height column
+    model its footprint would wall off the ground behind it."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadruped_ctrl_tpu.sim import camera
+
+    p = jnp.array([0.0, 0.0, 0.3], jnp.float32)
+    quat = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    plane = Terrain.plane()
+    d0 = np.asarray(jax.jit(
+        lambda: camera.render_depth(plane, p, quat)[0])())
+
+    crate = plane.with_boxes(centers=[[0.8, 0.0, 0.15]],
+                             halves=[[0.1, 0.3, 0.15]])
+    depth_c, _, _, _, is_prop = jax.jit(
+        lambda: camera.render_depth(crate, p, quat))()
+    is_prop = np.asarray(is_prop)
+    depth_c = np.asarray(depth_c)
+    assert is_prop.sum() > 10                      # the crate is in-frame
+    assert (depth_c[is_prop] <= d0[is_prop] + 1e-6).all()
+    assert depth_c[is_prop].mean() < d0[is_prop].mean() - 0.05
+    # and the point cloud / rgb paths accept props
+    pts, valid = jax.jit(lambda: camera.point_cloud(crate, p, quat))()
+    assert bool(valid.any())
+    rgb = np.asarray(jax.jit(lambda: camera.render_rgb(crate, p, quat))())
+    assert rgb.shape == (camera.HEIGHT, camera.WIDTH, 3)
+
+    # floating box wholly above the down-looking frustum: invisible, and
+    # crucially it does NOT occlude the ground under/behind it
+    lintel = plane.with_boxes(centers=[[0.8, 0.0, 0.5]],
+                              halves=[[0.15, 0.4, 0.05]])
+    depth_l, _, _, _, is_prop_l = jax.jit(
+        lambda: camera.render_depth(lintel, p, quat))()
+    assert not np.asarray(is_prop_l).any()
+    np.testing.assert_array_equal(np.asarray(depth_l), d0)
+    # while the CONTACT query still reports its support height (documented
+    # archway limitation: a foot under the lintel sees the lintel top)
+    assert np.isclose(float(height_at(lintel, 0.8, 0.0)), 0.55)
