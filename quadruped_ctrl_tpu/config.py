@@ -179,6 +179,13 @@ class SolverConfig:
     # exceeds this (force-normalized units) join the initial active-set
     # estimate alongside the z-proximity rows — a better round-0 active set
     # lets a smaller polish_rounds reach the oracle. 0 disables (z-only).
+    # STATUS: measured NOT to buy back a round (round 5, on v5e,
+    # experiments/polish_rounds_study.py -> POLISH_STUDY_r05.json): at
+    # polish_rounds=2 one pipeline scenario of 126 misses the f64 oracle
+    # by 1.40 N, bitwise-unchanged at tol 0.01/0.03/0.1 — the miss is not
+    # a round-0 active-set identification failure (the seeded rows are
+    # already in the z-proximity set); it needs the extra refinement
+    # round's drop/add pass. polish_rounds=3 stays the floor.
     polish_dual_seed_tol: float = 0.0
     # Woodbury polish refinement (batched path): rounds 1..k apply the
     # active-set weight flips as a rank-r Woodbury correction of the
