@@ -23,7 +23,13 @@ equivalent, ~819 GB/s HBM) and the % of that bound attained.
 Timing methodology: the repetitions are chained *inside* one jit (each rep's
 inputs depend on the previous rep's forces, defeating any elision), and the
 final scalar is fetched to the host — `block_until_ready` alone does not
-guarantee completion under remote-tunnel TPU transports.
+guarantee completion under remote-tunnel TPU transports. The rep counts are
+chosen so the tunnel's FIXED per-call transport cost (measured ~23 ms for a
+trivial chained program on this container's remote v5e, the same 2-RPC
+round trip LATENCY.json records as transport_2rpc_p50; a locally-attached
+chip pays ~none of it) amortizes to <2% of each lane's measurement — at the
+round-4 rep counts (8 / 4) it inflated every per-rep time by ~3-6 ms, which
+understated the flagship lane by ~7%.
 """
 
 import json
@@ -95,7 +101,7 @@ def main():
     cfg = default_config()
     h = 10
     batch = 4096
-    n_reps = 8
+    n_reps = 48
     iters = cfg.solver.iterations
     polish = cfg.solver.polish_rounds
     inputs = pipeline.random_inputs(jax.random.PRNGKey(0), batch, h)
@@ -195,10 +201,10 @@ def main():
     inputs16 = pipeline.random_inputs(jax.random.PRNGKey(1), b16, h16)
     t16 = lane("h16_full", lambda: timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=4, pack=1),
-        inputs16, 4))
+        inputs16, 16))
     t16t = lane("h16_trot", lambda: timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=2, pack=2),
-        inputs16, 4))
+        inputs16, 16))
     # mid-band lane: the aio walking->trot morph band (0.2 < v <= 0.4,
     # ConvexMPCLocomotion.cpp:174-233) is a 3-STANCE h=16 gait, so it
     # compresses to ms=3 (144-var systems on the 256 kernel tile) instead
@@ -218,7 +224,7 @@ def main():
     )
     t16m = lane("h16_midband", lambda: timed(
         lambda i: pipeline.solve_packed_batch(cfg, i, max_stance=3, pack=1),
-        inputs16m, 4))
+        inputs16m, 16))
 
     def rate(total, t):
         return round(total / t, 1) if t else None
