@@ -255,7 +255,12 @@ def cmd_kernels_smoke(args):
     from quadruped_ctrl_tpu.utils import kernels_smoke
 
     header = (f"kernel smoke: backend={jax.default_backend()} "
-              f"devices={jax.device_count()}")
+              f"devices={jax.device_count()}\n"
+              "# times are single-dispatch wall clock and include the "
+              "remote tunnel's fixed ~20 ms per-call transport when run "
+              "through it — the gate is compile+execute+finiteness+"
+              "residual; per-solve device timing lives in bench.py, whose "
+              "chained reps amortize transport to <2%")
     print(header, flush=True)
     lines, failed = kernels_smoke.run_smoke(full=args.full)
     tail = f"{len(lines)} cases, {failed} failed"
