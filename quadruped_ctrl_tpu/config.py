@@ -167,6 +167,19 @@ class SolverConfig:
     # (its solves also carry iterative refinement).
     ns_admm_a0: float = 5e-4
     ns_admm_scaled_iters: int = 6
+    # Schur split for ADMM-grade factorizations of 128 < n <= 160 systems
+    # (the h=16 ms=3 midband's 144-var tile): invert the 128x128 leading
+    # block in the 128 lane tile, the tiny Schur complement in plain XLA,
+    # assemble, and scrub one NS iteration — 2.37x per factorization vs
+    # the 256-tile kernel at equal-or-better residual for the cond<=213
+    # ADMM systems above (measured: experiments/SCHUR_PROBE_r05.json;
+    # algorithm + accuracy contract: ops/ns_inverse.py
+    # ns_inverse_schur_scaled). Net bench effect +8.1% on the midband
+    # lane; at n=192 the forgone fused in-kernel K-build outweighs the
+    # smaller 1.45x factorization gain (measured -2%), hence the 160
+    # cutoff in solver/admm.py build_solver. Never applied to polish-round
+    # factorizations (cond ~1e5+ breaks the f32 Schur assembly).
+    ns_schur_split: bool = True
     # Warm-started NS kernel parameters (ops/ns_inverse.py:
     # ns_inverse_pallas_warm). NOT on any production path: Mosaic executes
     # both sides of a per-system conditional, so the guarded warm kernel

@@ -665,3 +665,93 @@ def ns_inverse_pallas_scaled_build(hp, g9, a0: float = 1e-5,
         return out
     inv, d_row = out
     return inv, None, d_row
+
+
+# ---------------------------------------------------------------------------
+# Schur-split inverse for 128 < n <= 192 (ADMM-grade systems only).
+#
+# The 256 lane tile costs 8x the per-matmul MXU flops of the 128 tile, yet
+# the h=16 lanes' logical systems are only 144 (ms=3 midband) or 192 vars.
+# For the WELL-CONDITIONED ADMM-phase K (measured Jacobi-scaled cond 14..213
+# at the adaptive-rho clip floor, config.py:160-167 — NOT the polish-round
+# K, whose w_act=1e4 active-set weighting reaches cond ~1e5+ and keeps the
+# full 256 path) a 2x2 block factorization at the 128 boundary is both
+# faster and at least as accurate:
+#
+#   K = [[A, B], [B', D]],  A (128,128), D (m,m), m = n-128 in {16, 64}
+#   K^-1 assembled from  A^-1 (128-tile Pallas NS kernel),
+#   S = D - B' A^-1 B (m x m Schur complement, SPD, cond(S) <= cond(K) by
+#   eigenvalue interlacing), S^-1 (tiny batched XLA NS — m^3 flops are
+#   negligible), then ONE plain-XLA NS scrub iteration at the logical n to
+#   square away the f32 assembly cancellation.
+#
+# Measured on v5e at B=2048, ADMM schedule, vs ns_inverse_pallas_scaled at
+# the 256 tile (experiments/schur_split_probe.py -> SCHUR_PROBE_r05.json):
+#   n=144: 13.5 ms vs 31.9 ms (2.37x), resid 2.4e-5 vs 2.9e-5
+#   n=192: 23.2 ms vs 33.6 ms (1.45x), resid 2.6e-5 vs 3.3e-5
+# and at cond 1e3 (~5x margin over the measured worst case) the scrubbed
+# residual is 3.5e-4 / 3.1e-4 — better than the 256-tile kernel's own
+# 1.3e-3 / 3.4e-3 there. Without the scrub the assembly error is ~cond*eps
+# (1.4e-3 at cond 213), and at polish conditioning (1e5+) it exceeds the
+# NS convergence region entirely — hence the ADMM-grade-only gate.
+
+def _xla_ns_small(ss, iters: int):
+    """Batched tiny-block NS inverse in plain XLA ((B, m, m), m <= 64).
+
+    The m^3 matmuls are far below a lane tile — total flops are negligible
+    next to the 128-tile kernel call, so MXU efficiency is irrelevant here.
+    """
+    m = ss.shape[-1]
+    eye = jnp.eye(m, dtype=ss.dtype)
+    d = jax.lax.rsqrt(
+        jnp.maximum(jnp.diagonal(ss, axis1=-2, axis2=-1), 1e-30))
+    sshat = ss * d[:, :, None] * d[:, None, :]
+    alpha = 1.0 / jnp.max(jnp.sum(jnp.abs(sshat), axis=-1), axis=-1)
+    x = alpha[:, None, None] * jnp.broadcast_to(eye, sshat.shape)
+
+    def body(x, _):
+        kx = jnp.matmul(sshat, x, precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(x, 2.0 * eye - kx, precision=jax.lax.Precision.HIGHEST), None
+
+    x, _ = jax.lax.scan(body, x, None, length=iters)
+    return x * d[:, :, None] * d[:, None, :]
+
+
+def ns_inverse_schur_scaled(ks, a0: float = 5e-4, n_scaled: int = 6,
+                            n_quad: int = 2, n_hi: int = 1,
+                            n_small: int = 13, n_scrub: int = 1,
+                            interpret: bool = False):
+    """Schur-split NS inverse of Jacobi-scaled SPD ks (B, n, n),
+    128 < n <= 192. Returns the (B, n, n) inverse at the LOGICAL size (no
+    256 padding). See the block comment above for the algorithm, the
+    accuracy contract (ADMM-grade conditioning only), and measured numbers.
+    Any batch size (G-pads the A block internally)."""
+    b, n = ks.shape[0], ks.shape[-1]
+    assert 128 < n <= 192, n
+    a = ks[:, :128, :128]
+    bb = ks[:, :128, 128:]
+    dd = ks[:, 128:, 128:]
+    pad_b = (-b) % G
+    if pad_b:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(jnp.eye(128, dtype=jnp.float32),
+                                 (pad_b, 128, 128))], axis=0)
+    # pass interpret only when set, so a test monkeypatch that pins the
+    # kernel entry points to interpret mode is not overridden
+    kw = {"interpret": True} if interpret else {}
+    ainv = ns_inverse_pallas_scaled(a, a0, n_scaled, n_quad, n_hi, **kw)[:b]
+    aib = jnp.matmul(ainv, bb, precision=jax.lax.Precision.HIGHEST)
+    s = dd - jnp.matmul(bb.transpose(0, 2, 1), aib, precision=jax.lax.Precision.HIGHEST)
+    sinv = _xla_ns_small(s, n_small)
+    aib_sinv = jnp.matmul(aib, sinv, precision=jax.lax.Precision.HIGHEST)
+    tl = ainv + jnp.matmul(aib_sinv, aib.transpose(0, 2, 1),
+                           precision=jax.lax.Precision.HIGHEST)
+    x = jnp.concatenate([
+        jnp.concatenate([tl, -aib_sinv], axis=2),
+        jnp.concatenate([-aib_sinv.transpose(0, 2, 1), sinv], axis=2),
+    ], axis=1)
+    eye = jnp.eye(n, dtype=ks.dtype)
+    for _ in range(n_scrub):
+        kx = jnp.matmul(ks, x, precision=jax.lax.Precision.HIGHEST)
+        x = jnp.matmul(x, 2.0 * eye - kx, precision=jax.lax.Precision.HIGHEST)
+    return x

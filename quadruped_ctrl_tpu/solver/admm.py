@@ -361,7 +361,7 @@ def admm_mpc(
 # (in-kernel HIGHEST matmuls reach resid ~3e-7 vs ~5e-6).
 
 def _batched_solver(k, cfg: SolverConfig, use_pallas: bool, schedule=None,
-                    prev_inv=None, prev_scale=None):
+                    prev_inv=None, prev_scale=None, schur: bool = False):
     """k: (B,n,n) SPD -> solve(b_vec (B,n)) -> (B,n), Jacobi-prescaled with
     iterative refinement. The Pallas path runs the scaled mixed-precision
     schedule (13 iterations ~= 25 plain HIGHEST ones, 2x faster).
@@ -383,7 +383,17 @@ def _batched_solver(k, cfg: SolverConfig, use_pallas: bool, schedule=None,
     if schedule is None:
         schedule = (cfg.ns_a0, cfg.ns_scaled_iters, cfg.ns_quad_iters,
                     cfg.ns_hi_iters)
-    if use_pallas:
+    if use_pallas and schur and prev_inv is None and 128 < n <= 192:
+        # ADMM-grade 128<n<=192: Schur split at the 128 tile boundary —
+        # 2.37x (n=144) / 1.45x (n=192) over the 256-tile kernel at equal
+        # residual for these systems' measured conditioning; NOT valid at
+        # polish conditioning (see ops/ns_inverse.py Schur block comment).
+        from quadruped_ctrl_tpu.ops import ns_inverse as NI
+
+        inv = NI.ns_inverse_schur_scaled(ks, *schedule)
+        inv_padded = NI.pad_to(inv, n)   # identity padding, same contract
+                                         # as the padded-kernel inverse
+    elif use_pallas:
         from quadruped_ctrl_tpu.ops import ns_inverse as NI
 
         b = ks.shape[0]
@@ -728,7 +738,19 @@ def admm_mpc_batched(
         and hp_g is not None and hp_g.shape[-1] > 128)
 
     def build_solver(w, schedule=None, prev_inv=None, prev_scale=None):
-        if use_pallas and prev_inv is None and fused_ok:
+        # ADMM-grade factorizations (the only callers passing a schedule —
+        # cold solve0 + adaptive-rho refactorizations) of 128<n<=160
+        # systems take the Schur split at the 128 tile boundary instead of
+        # the 256-tile fused kernel. Per-factorization the split wins at
+        # both sizes (2.37x at n=144, 1.45x at n=192 —
+        # experiments/SCHUR_PROBE_r05.json), but it forgoes the fused
+        # in-kernel K-build for an XLA assembly; the measured NET lane
+        # effect is +8.1% at n=144 (h=16 ms=3 midband) and -2% at n=192,
+        # hence the 160 cutoff between the two measured points. Polish
+        # factorizations (schedule=None, cond ~1e5+) keep the full path.
+        schur = (cfg.ns_schur_split and use_pallas and prev_inv is None
+                 and schedule is not None and 128 < n <= 160)
+        if use_pallas and prev_inv is None and fused_ok and not schur:
             gram = formation.pyramid_gram(cfg_mpc, w.reshape(bsz, h, nf, 5))
             g9 = gram.reshape(bsz, h * nf, 9).transpose(0, 2, 1)  # (B,9,hnf)
             return _batched_solver_fused(hp_g, g9, n, bsz, cfg,
@@ -740,7 +762,8 @@ def admm_mpc_batched(
         ).reshape(bsz, n, n)
         k = hess_n + cfg.sigma * eye[None] + delta
         return _batched_solver(k, cfg, use_pallas, schedule=schedule,
-                               prev_inv=prev_inv, prev_scale=prev_scale)
+                               prev_inv=prev_inv, prev_scale=prev_scale,
+                               schur=schur)
 
     def apply_a(v):
         return formation.pyramid_apply(

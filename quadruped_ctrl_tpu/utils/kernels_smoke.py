@@ -153,6 +153,16 @@ def run_smoke(full: bool | None = None):
                  hp, g9, *sched, interpret=interpret)[0],
              hp, g9)
 
+    # ---- Schur-split inverse, both production 128<n<=192 sizes ----
+    for n in (144, 192):
+        ks8 = _spd_batch(5, NI.G, n, n, cond=213.0)
+        ks = jnp.tile(ks8, (-(-B // NI.G), 1, 1))[:B]
+        case(f"ns_inverse_schur_scaled         B={B} n={n}",
+             lambda ks: NI.ns_inverse_schur_scaled(
+                 ks, cs.ns_admm_a0, cs.ns_admm_scaled_iters,
+                 cs.ns_quad_iters, cs.ns_hi_iters, interpret=interpret),
+             ks, check=ns_resid_check(ks))
+
     # ---- warm refine kernel, both tiles ----
     for n, npad in ((120, 128), (192, 256)):
         ks = _spd_batch(1, B, n, npad)

@@ -256,7 +256,9 @@ def test_refine_kernel_from_warm_init():
 
 @pytest.mark.parametrize("h,b", [
     (4, 6),     # 128 tile, bsz % G != 0 -> exercises the batch-pad branches
-    (11, 4),    # n=132 -> 256 tile: the no-ks kernel + K-matvec fallback
+    (11, 4),    # n=132: ADMM phase takes the Schur split (128<n<=192);
+                # polish rounds still hit the no-ks 256 kernel + K-matvec
+    (12, 4),    # n=144: the h=16 ms=3 midband tile through the same glue
 ])
 def test_fused_build_solver_path_interpret(monkeypatch, h, b):
     """Integration coverage for the use_pallas=True fused-build glue
@@ -448,3 +450,34 @@ def test_fused_kbuild_matches_xla_assembly(hv, nf, npad):
     assert float(jnp.max(jnp.abs(jnp.where(both, inv_f - inv_ref, 0.0)))) \
         < 1e-6
     assert bool(jnp.all(jnp.isfinite(inv_f) == jnp.isfinite(inv_ref)))
+
+
+# ---------------------------------------------------------------------------
+# Schur-split inverse (ADMM-grade 128 < n <= 192 systems)
+
+
+@pytest.mark.parametrize("n,cond", [
+    (144, 213.0),    # h=16 ms=3 midband size, measured worst ADMM cond
+    (144, 1e3),      # ~5x margin over the measured worst case
+    (192, 213.0),    # h=16 ms=4 full size
+    (192, 1e3),
+])
+def test_schur_split_inverse(n, cond):
+    """ns_inverse_schur_scaled: block factorization at the 128 boundary +
+    one NS scrub must land at the 256-tile kernel's residual level for
+    ADMM-grade conditioning (cond <= 213 measured, config.py:160-167; the
+    1e3 rows are the safety margin). See ops/ns_inverse.py Schur block
+    comment for the measured v5e timings this path buys."""
+    b = 2 * NI.G + 3          # non-multiple of G: exercises the A-block pad
+    ks = _spd_batch(11, b, n, n, cond=cond)
+    x = np.asarray(NI.ns_inverse_schur_scaled(
+        ks, 5e-4, 6, 2, 1, interpret=INTERPRET), np.float64)
+    ks64 = np.asarray(ks, np.float64)
+    resid = np.abs(np.eye(n) - ks64 @ x).sum(-1).max()
+    # interpret mode emulates bf16 splits at true bf16; same 5e-3 gate as
+    # the other interpret-mode lanes (measured 2.4e-5..3.5e-4 on-device)
+    assert resid < 5e-3, resid
+    # blockwise identity: the assembled inverse must actually invert, not
+    # just have a small scrubbed residual on the test spectrum
+    err = np.abs(x - np.linalg.inv(ks64)).max() / np.abs(x).max()
+    assert err < 1e-2, err
